@@ -1,0 +1,73 @@
+package graft
+
+import graft.cc.ConnectedComponents
+import graft.ckpt.Ckpt
+import graft.groups.Groups
+import graft.kernel.SignatureKernel
+import graft.lsh.BandJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end near-duplicate pipeline (SURVEY.md §3.1 Spark shape):
+ *
+ *   images → dropDuplicates(image_id) → mapPartitions signature kernel
+ *   → write signatures (ord frozen)        [stage: signatures]
+ *   → band explode → self equi-join → Hamming verify → distinct edges
+ *                                           [stage: edges]
+ *   → large-star/small-star CC              [stage: components]
+ *   → group assembly + analytics            [stage: groups]
+ *
+ * Every stage is a committed Parquet table (Iceberg-shaped) with lineage +
+ * metrics rows; re-running `run` with the same workDir resumes from the
+ * last committed stage (the reference's incremental-rescan cache,
+ * scanner.rs:1251-1294).
+ */
+object Pipeline {
+  final val DefaultThreshold = 40 // phdupes.rs:353-355
+
+  def session(master: String, shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft-dedup")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** Compute signatures with a frozen dense ord. */
+  def signatures(spark: SparkSession, images: DataFrame): DataFrame =
+    SignatureKernel.signatures(spark, images.dropDuplicates("image_id"))
+      .toDF()
+      .withColumn("ord", monotonically_increasing_id())
+
+  /** Full run. Returns the per-member groups frame. */
+  def run(spark: SparkSession, images: DataFrame, workDir: String,
+          threshold: Int = DefaultThreshold): DataFrame = {
+    val ckpt = new Ckpt(spark, workDir)
+
+    val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
+    if (!sigHit) ckpt.appendMetric("images", sig.count().toDouble)
+
+    val (edges, edgesHit) = ckpt.stage("edges")(BandJoin.edges(sig, threshold))
+    if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)
+
+    val (comps, _) = ckpt.stage("components")(
+      ConnectedComponents.run(spark, edges))
+
+    val (grouped, _) = ckpt.stage("groups")(Groups.assemble(sig, comps))
+    grouped
+  }
+
+  /** Duplicate pairs implied by the final grouping (for recall scoring):
+    * all unordered member pairs within each component. */
+  def dupPairs(grouped: DataFrame): DataFrame = {
+    val a = grouped.select(col("comp"), col("image_id").as("id_a"))
+    val b = grouped.select(col("comp"), col("image_id").as("id_b"))
+    a.join(b, "comp").where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ckpt
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Checkpointed, idempotently-resumable stage writer — the Iceberg-shaped
+ * contract (SURVEY.md §7): every stage materializes to Parquet with a
+ * lineage row; a re-run finds the committed output and skips the work,
+ * matching the reference's meta_key cache-hit semantics
+ * (scanner.rs:1251-1294, db.rs:292-321) where the "cache key" here is the
+ * (stage, workDir) pair and the parquet _SUCCESS marker is the commit.
+ *
+ * Lineage + metrics are append-only side tables (the reference's
+ * last_seen_ts / comparison-count analogs, db.rs:909-911,
+ * scanner.rs:1778).
+ */
+final class Ckpt(spark: SparkSession, workDir: String) {
+  private def path(stage: String) = s"$workDir/$stage"
+
+  private def committed(stage: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path(stage), "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Run `compute` unless `stage` is already committed; always returns the
+    * materialized frame (reads back from parquet so downstream plans start
+    * from a stable scan, and `monotonically_increasing_id`-derived columns
+    * are frozen). Returns (frame, cacheHit). */
+  def stage(stageName: String)(compute: => DataFrame): (DataFrame, Boolean) = {
+    if (committed(stageName)) {
+      (spark.read.parquet(path(stageName)), true)
+    } else {
+      val t0 = System.nanoTime()
+      compute.write.mode(SaveMode.Overwrite).parquet(path(stageName))
+      val out = spark.read.parquet(path(stageName))
+      appendLineage(stageName, out.count(), (System.nanoTime() - t0) / 1000000)
+      (out, false)
+    }
+  }
+
+  def appendLineage(stageName: String, rows: Long, wallMs: Long): Unit = {
+    import spark.implicits._
+    Seq((stageName, rows, wallMs, java.time.Instant.now.toString))
+      .toDF("stage", "rows", "wall_ms", "committed_at")
+      .write.mode(SaveMode.Append).parquet(s"$workDir/_lineage")
+  }
+
+  def appendMetric(name: String, value: Double): Unit = {
+    import spark.implicits._
+    Seq((name, value, java.time.Instant.now.toString))
+      .toDF("metric", "value", "at")
+      .write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
+  }
+
+  def lineage: DataFrame = spark.read.parquet(s"$workDir/_lineage")
+  def metrics: DataFrame = spark.read.parquet(s"$workDir/_metrics")
+}

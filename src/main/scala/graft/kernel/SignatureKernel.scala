@@ -1,0 +1,63 @@
+package graft.kernel
+
+import graft.functions.MinHash
+import graft.model.{ImageRow, Signature}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.security.MessageDigest
+
+/**
+ * The decode-once signature kernel (SURVEY.md §2.11): one mapPartitions
+ * pass over the input table computes content hash, pixel hash, PDQ
+ * features + quality + all 8 dihedral hashes, the 64-bit pHash, and the
+ * caption MinHash — mirroring the reference's per-file stage
+ * (scanner.rs:1296-1493: read once, decode once, hash everything).
+ *
+ * Pure row→row computation: no shuffle, no state, embarrassingly parallel
+ * — at 100 TB this stage scales linearly with input splits.
+ */
+object SignatureKernel {
+  /** PDQ quality threshold below which only exact matches are trusted
+    * (scanner.rs:1586 PDQ_MIN_QUALITY). */
+  final val MinQuality = 50
+
+  def computeOne(row: ImageRow, sha: MessageDigest): Signature = {
+    sha.reset()
+    val contentHash = sha.digest(row.bytes)
+    val decoded = ImageCodec.decode(row.bytes, row.fmt, row.w, row.h)
+    val minhash = MinHash.signature(row.caption)
+    decoded match {
+      case Some(d) if d.w >= Pdq.MinHashableDim && d.h >= Pdq.MinHashableDim =>
+        sha.reset()
+        val pixelHash = sha.digest(d.rgbaBytes)
+        val gray = d.luma601
+        val (coeffs, q) = Pdq.featuresFromLuma(gray, d.w, d.h)
+        val quality = math.round(q * 100.0f) // scanner.rs:1416-1418
+        val variants = Pdq.dihedralHashes(coeffs).map(Pdq.toLongs)
+        val hs = variants(0)
+        val ph = PHash.hashGray(gray, d.w, d.h)
+        Signature(row.image_id, 0L, contentHash, pixelHash,
+          hs(0), hs(1), hs(2), hs(3), quality,
+          low_conf = quality < MinQuality, variants = variants,
+          phash64 = ph, minhash = minhash, caption = row.caption, has_pdq = true)
+      case _ =>
+        // decode failure or sub-5px (pdqhash.rs:167-169): row keeps flowing,
+        // matchable only via content hash
+        Signature(row.image_id, 0L, contentHash, null,
+          0L, 0L, 0L, 0L, 0, low_conf = true,
+          variants = Array.empty, phash64 = 0L, minhash = minhash,
+          caption = row.caption, has_pdq = false)
+    }
+  }
+
+  /** images (input_hint schema) → signatures with a persisted dense ord.
+    * `ord` must be written to storage before use downstream: it comes from
+    * monotonically_increasing_id and is only stable once materialized. */
+  def signatures(spark: SparkSession, images: DataFrame): Dataset[Signature] = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      val sha = MessageDigest.getInstance("SHA-256")
+      it.map(computeOne(_, sha))
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.lsh
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH-banded candidate generation + Hamming verification — the Spark-native
+ * re-expression of the reference's Multi-Index-Hashing probe
+ * (hamminghash.rs:82-149 index, scanner.rs:1640-1776 probe loop).
+ *
+ * Shape: the CSR inverted index becomes an `explode` of the 16 little-endian
+ * u16 chunks of the 256-bit hash into (band_idx, band_val) keys; the
+ * pigeonhole multi-probe (R-bit flips of the queried chunk) becomes a second
+ * `explode` over XOR masks; candidate generation is a self equi-join on the
+ * band key; verification is a pure-Catalyst `bit_count(xor)` residual over
+ * the hash carried as 4 longs — the whole verify filter stays inside
+ * whole-stage codegen.
+ *
+ * Scale notes (the parts the single-process reference never needed):
+ *  - The probe radius is SPLIT between the two join sides: covering chunk
+ *    distance `tol` needs radius-r_i flips on the index side and r_p on the
+ *    probe side with r_i + r_p = tol (triangle inequality over the 16-bit
+ *    chunk). Probe-side-only (the reference's choice, free in RAM) would
+ *    shuffle 1+16+120=137 keys/chunk at tol=2; the (1,1) split shuffles
+ *    17 keys/chunk on each side — ~7× less exploded volume with identical
+ *    recall.
+ *  - Low-quality (quality<50) hashes are exact-match-only
+ *    (scanner.rs:1579-1594). They are excluded from the fuzzy join entirely
+ *    and handled by a linear-cost star join on exact hash equality — this
+ *    removes the worst skew source (near-flat images collapse onto a few
+ *    band values) *before* the shuffle instead of salting it after.
+ *  - Exact (distance-0) matching builds STAR edges per identical hash via
+ *    groupBy + min instead of pairwise edges: a cluster of k byte-identical
+ *    images costs k edges, not k²/2, with the same connected components.
+ *  - AQE skew-join splitting is enabled session-wide for the residual skew.
+ */
+object BandJoin {
+  final val NumChunks = 16
+  final val BitsPerChunk = 16
+
+  /** XOR masks within Hamming radius r of a 16-bit value (r ∈ 0..2 used;
+    * r=3 supported for threshold 48..63, scanner.rs:1755-1767). */
+  def masks(radius: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer(0)
+    if (radius >= 1) for (i <- 0 until BitsPerChunk) out += (1 << i)
+    if (radius >= 2)
+      for (i <- 0 until BitsPerChunk; j <- i + 1 until BitsPerChunk)
+        out += (1 << i) | (1 << j)
+    if (radius >= 3)
+      for (i <- 0 until BitsPerChunk; j <- i + 1 until BitsPerChunk;
+           m <- j + 1 until BitsPerChunk)
+        out += (1 << i) | (1 << j) | (1 << m)
+    out.toArray
+  }
+
+  /** All 16 chunks of (h0..h3) as an array column: chunk k = little-endian
+    * u16 k of the 256-bit hash — static shifts, fully codegen'd. */
+  def chunksArray(h: Seq[Column]): Column =
+    array((0 until NumChunks).map { k =>
+      shiftrightunsigned(h(k / 4), (k % 4) * 16)
+        .bitwiseAND(lit(0xffffL)).cast("int")
+    }: _*)
+
+  /** Σ bit_count(xor) over the 4 longs — 256-bit Hamming distance as a
+    * codegen'd Catalyst expression (hamminghash.rs:55-58 semantics). */
+  def hammingCols(a: Seq[Column], b: Seq[Column]): Column =
+    a.zip(b).map { case (x, y) => bit_count(x.bitwiseXOR(y)) }.reduce(_ + _)
+
+  /** Explode a hash-carrying frame into (band_idx, band_val) keys with
+    * radius-r multi-probe masks. `hs` are the 4 hash columns to band on. */
+  private def bandKeys(df: DataFrame, hs: Seq[String], radius: Int): DataFrame = {
+    val h = hs.map(col)
+    df.select(col("*"), posexplode(chunksArray(h)).as(Seq("band_idx", "chunk")))
+      .withColumn("mask", explode(lit(masks(radius))))
+      .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
+      .drop("chunk", "mask")
+  }
+
+  /**
+   * Fuzzy duplicate edges among confident rows: band join + Hamming ≤
+   * threshold verify + canonical a<b + distinct. Matches the reference's
+   * probe semantics: the PROBE side expands all 8 dihedral variant hashes
+   * (store-1/query-8, scanner.rs:1700-1724), the INDEX side holds originals.
+   *
+   * `sig` needs: ord, h0..h3, variants, low_conf, has_pdq.
+   * Returns (a, b, dist) with a < b.
+   */
+  def fuzzyEdges(sig: DataFrame, threshold: Int): DataFrame = {
+    require(threshold <= 63,
+      s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
+    val tol = threshold / NumChunks
+    val rIdx = tol / 2
+    val rPrb = tol - rIdx
+
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+
+    val idx = bandKeys(
+      conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),
+      Seq("h0", "h1", "h2", "h3"), rIdx)
+      .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
+        col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
+
+    val prbBase = conf
+      .select(col("ord"), explode(col("variants")).as("v"))
+      .select(col("ord"),
+        col("v").getItem(0).as("v0"), col("v").getItem(1).as("v1"),
+        col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
+    val prb = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb)
+      .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
+        col("v0"), col("v1"), col("v2"), col("v3"))
+
+    val vh = Seq("v0", "v1", "v2", "v3").map(col)
+    val ch = Seq("c0", "c1", "c2", "c3").map(col)
+    prb.join(idx, Seq("band_idx", "band_val"))
+      .where(col("q_ord") < col("c_ord")) // canonical i<j (scanner.rs:1714-1717)
+      .withColumn("dist", hammingCols(vh, ch))
+      .where(col("dist") <= threshold)
+      .groupBy(col("q_ord").as("a"), col("c_ord").as("b"))
+      .agg(min("dist").as("dist"))
+  }
+
+  /**
+   * Exact (distance-0) edges for ALL rows, including low-quality ones:
+   * a probe variant equal to some stored original hash (the limit-0 path of
+   * scanner.rs:1699-1724). Star construction: per identical original hash,
+   * hub = min ord; every row holding that hash (as original or any dihedral
+   * variant) links to the hub. Components are identical to pairwise edges
+   * at linear instead of quadratic edge count.
+   */
+  def exactEdges(sig: DataFrame): DataFrame = {
+    val withPdq = sig.filter(col("has_pdq"))
+    val hubs = withPdq.groupBy("h0", "h1", "h2", "h3")
+      .agg(min("ord").as("hub"))
+    val vars = withPdq
+      .select(col("ord"), explode(col("variants")).as("v"))
+      .select(col("ord"),
+        col("v").getItem(0).as("h0"), col("v").getItem(1).as("h1"),
+        col("v").getItem(2).as("h2"), col("v").getItem(3).as("h3"))
+    vars.join(hubs, Seq("h0", "h1", "h2", "h3"))
+      .where(col("ord") =!= col("hub"))
+      .select(least(col("ord"), col("hub")).as("a"),
+        greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
+      .distinct()
+  }
+
+  /** All verified duplicate edges (a < b, minimal dist per pair). */
+  def edges(sig: DataFrame, threshold: Int): DataFrame =
+    fuzzyEdges(sig, threshold)
+      .unionByName(exactEdges(sig))
+      .groupBy("a", "b").agg(min("dist").as("dist"))
+}

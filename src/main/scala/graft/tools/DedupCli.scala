@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.Pipeline
+import graft.groups.Groups
+import graft.synth.Synth
+
+/**
+ * CLI entry — the `phdupes <paths>` analog (phdupes.rs:540-610): run the
+ * dedup pipeline over an images table and print the ordered group report.
+ *
+ * Usage:
+ *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold]
+ *
+ * `SYNTH:200` synthesizes a 200-base deterministic corpus first (no
+ * external data in this sandbox); otherwise the first arg is a directory
+ * holding an `images` parquet table with the input_hint schema.
+ */
+object DedupCli {
+  def main(args: Array[String]): Unit = {
+    val input = args.headOption.getOrElse("SYNTH:50")
+    val workDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val threshold = if (args.length > 2) args(2).toInt else Pipeline.DefaultThreshold
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = Pipeline.session(s"local[$cpus]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val images =
+      if (input.startsWith("SYNTH")) {
+        val n = input.split(":").lift(1).map(_.toLong).getOrElse(50L)
+        Synth.generate(spark, n, s"$workDir/corpus")
+        Synth.readImages(spark, s"$workDir/corpus")
+      } else Synth.readImages(spark, input)
+
+    val t0 = System.nanoTime()
+    val grouped = Pipeline.run(spark, images, s"$workDir/work", threshold)
+    val summary = Groups.groupSummary(grouped)
+    val rows = summary.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val nImages = images.count()
+
+    println(s"== graft dedup: $nImages images, threshold $threshold ==")
+    rows.take(50).foreach { r =>
+      val members = r.getAs[scala.collection.Seq[String]]("members")
+      println(f"group size=${r.getAs[Long]("group_size")}%3d max_dist=${r.getAs[Int]("max_dist")}%3d " +
+        f"status=${r.getAs[String]("status")}%-13s ${members.sorted.mkString(", ")}")
+    }
+    if (rows.length > 50) println(s"... ${rows.length - 50} more groups")
+    println(f"== ${rows.length} duplicate groups, ${wall}%.1f s wall, " +
+      f"${nImages / wall}%.0f img/s ==")
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.kernel.Pdq
+import graft.lsh.BandJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH band-join recall: pigeonhole algebra + the planted-cluster test
+  * (hamminghash.rs:335-412 analog at Spark level). */
+class LshSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def randHash(r: java.util.Random): Array[Byte] = {
+    val b = new Array[Byte](32); r.nextBytes(b); b
+  }
+  private def flipBits(h: Array[Byte], r: java.util.Random, n: Int): Array[Byte] = {
+    val out = h.clone()
+    val picked = scala.collection.mutable.Set[Int]()
+    while (picked.size < n) picked += r.nextInt(256)
+    picked.foreach { bit => out(bit / 8) = (out(bit / 8) ^ (1 << (bit % 8))).toByte }
+    out
+  }
+
+  test("pigeonhole: dist ≤ t ⇒ some chunk within ⌊t/16⌋ (split-radius recall basis)") {
+    val r = new java.util.Random(7)
+    for (_ <- 0 until 500) {
+      val t = r.nextInt(64) // 0..63
+      val a = randHash(r)
+      val b = flipBits(a, r, r.nextInt(t + 1))
+      val dist = Pdq.hamming(a, b)
+      val minChunkDist = (0 until 16).map { k =>
+        java.lang.Integer.bitCount(Pdq.chunk(a, k) ^ Pdq.chunk(b, k))
+      }.min
+      assert(minChunkDist <= dist / 16,
+        s"dist $dist but min chunk dist $minChunkDist > ${dist / 16}")
+    }
+  }
+
+  test("probe masks sizes match the reference tiers (scanner.rs:1729-1767)") {
+    assert(BandJoin.masks(0).length == 1)
+    assert(BandJoin.masks(1).length == 17)
+    assert(BandJoin.masks(2).length == 137)
+    assert(BandJoin.masks(3).length == 697)
+  }
+
+  /** Build a minimal signature frame from raw 32-byte hashes (identity
+    * variant only — hash-level test, no dihedral). */
+  private def sigFrame(hashes: Seq[Array[Byte]], lowConf: Set[Int] = Set.empty) = {
+    import spark.implicits._
+    hashes.zipWithIndex.map { case (h, i) =>
+      val l = Pdq.toLongs(h)
+      (i.toLong, l(0), l(1), l(2), l(3), Array(l), lowConf.contains(i), true)
+    }.toDF("ord", "h0", "h1", "h2", "h3", "variants", "low_conf", "has_pdq")
+  }
+
+  test("planted cluster: 5 near hashes in 3000 random ones land in one component") {
+    val r = new java.util.Random(42)
+    val n = 3000
+    val hashes = scala.collection.mutable.ArrayBuffer.fill(n)(randHash(r))
+    val target = randHash(r)
+    val planted = Seq(target, flipBits(target, r, 3), flipBits(target, r, 7),
+      flipBits(target, r, 15), flipBits(target, r, 30))
+    val slots = scala.collection.mutable.Set[Int]()
+    while (slots.size < 5) slots += r.nextInt(n)
+    val slotSeq = slots.toSeq
+    slotSeq.zip(planted).foreach { case (s, h) => hashes(s) = h }
+
+    val edges = BandJoin.edges(sigFrame(hashes.toSeq), threshold = 40)
+    val comps = graft.cc.ConnectedComponents.run(spark, edges).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val compIds = slotSeq.map(s => comps.get(s.toLong))
+    assert(compIds.forall(_.isDefined), s"planted rows missing from components: $compIds")
+    assert(compIds.distinct.size == 1, s"planted rows split across components: $compIds")
+  }
+
+  test("low-confidence rows only match exactly (scanner.rs:1579-1594)") {
+    val r = new java.util.Random(11)
+    val base = randHash(r)
+    val near = flipBits(base, r, 5)
+    val exactDup = base.clone()
+    // rows: 0=base(lowConf), 1=near(lowConf), 2=exact dup of base(lowConf), 3=conf near
+    val sig = sigFrame(Seq(base, near, exactDup, flipBits(base, r, 4)),
+      lowConf = Set(0, 1, 2))
+    val edges = BandJoin.edges(sig, threshold = 40).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(edges.contains((0L, 2L)), "exact duplicate of low-conf row must match")
+    assert(!edges.exists(e => e == ((0L, 1L)) || e == ((1L, 2L))),
+      "fuzzy match against low-conf rows must be rejected")
+  }
+
+  test("verified edges carry true Hamming distance") {
+    val r = new java.util.Random(5)
+    val a = randHash(r)
+    val b = flipBits(a, r, 12)
+    val edges = BandJoin.edges(sigFrame(Seq(a, b)), threshold = 40).collect()
+    assert(edges.length == 1 && edges(0).getInt(2) == 12)
+  }
+}
