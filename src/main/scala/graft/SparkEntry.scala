@@ -1,13 +1,104 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{ImageQueries => IQ, RelationalQueries => RQ, TextEmbedQueries => TQ}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — SURVEY.md §7. `queries` exposes each operator from the
+  * §2 inventory: pipeline-shaped operators over the TPC-H-ish testdata with
+  * DuckDB oracles, text/dedup/ANN operators over documents/embeddings, and
+  * the image pipeline itself over the synthesized corpus (rows-only — the
+  * reference-semantics oracle for those lives in PipelineSpec). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full image dedup pipeline on a synthesized corpus —
+    * signatures → LSH band join → Hamming verify → CC → groups. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    IQ.qImgGroups(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pipeline-shaped operators (DuckDB-gated)
+    "q_hamming_hist" -> (RQ.qHammingHist _),
+    "q_band_extract" -> (RQ.qBandExtract _),
+    "q_band_join_pairs" -> (RQ.qBandJoinPairs _),
+    "q_connected_components" -> (RQ.qConnectedComponents _),
+    "q_dup_groups" -> (RQ.qDupGroups _),
+    "q_group_status" -> (RQ.qGroupStatus _),
+    "q_low_conf_gate" -> (RQ.qLowConfGate _),
+    "q_prune_anti_join" -> (RQ.qPruneAntiJoin _),
+    "q_cache_join" -> (RQ.qCacheJoin _),
+    "q_registry_reuse" -> (RQ.qRegistryReuse _),
+    "q_window_dup_counts" -> (RQ.qWindowDupCounts _),
+    "q_top_per_key" -> (RQ.qTopPerKey _),
+    "q_group_order_rank" -> (RQ.qGroupOrderRank _),
+    "q_set_ops" -> (RQ.qSetOps _),
+    "q_search_predicates" -> (RQ.qSearchPredicates _),
+    "q_search_query_lang" -> (RQ.qSearchQueryLang _),
+    "q_number_from_string" -> (RQ.qNumberFromString _),
+    "q_exif_timestamp" -> (RQ.qExifTimestamp _),
+    "q_dms_to_decimal" -> (RQ.qDmsToDecimal _),
+    // text / dedup / ANN operators (DuckDB-gated)
+    "q_doc_shingles" -> (TQ.qDocShingles _),
+    "q_doc_minhash" -> (TQ.qDocMinhash _),
+    "q_minhash_band_pairs" -> (TQ.qMinhashBandPairs _),
+    "q_simhash" -> (TQ.qSimhash _),
+    "q_ngram_jaccard" -> (TQ.qNgramJaccard _),
+    "q_token_stats" -> (TQ.qTokenStats _),
+    "q_text_quality" -> (TQ.qTextQuality _),
+    "q_lang_id" -> (TQ.qLangId _),
+    "q_doc_fingerprint" -> (TQ.qDocFingerprint _),
+    "q_exact_dedup_docs" -> (TQ.qExactDedupDocs _),
+    "q_ann_topk" -> (TQ.qAnnTopK _),
+    "q_ann_lsh_buckets" -> (TQ.qAnnLshBuckets _),
+    "q_embed_near_dup" -> (TQ.qEmbedNearDup _),
+    // the image pipeline itself (rows-only; oracle = PipelineSpec)
+    "q_img_signatures" -> (IQ.qImgSignatures _),
+    "q_img_band_keys" -> (IQ.qImgBandKeys _),
+    "q_img_edges" -> (IQ.qImgEdges _),
+    "q_img_components" -> (IQ.qImgComponents _),
+    "q_img_groups" -> (IQ.qImgGroups _),
+    "q_img_dup_pairs" -> (IQ.qImgDupPairs _),
+    "q_img_caption_candidates" -> (IQ.qImgCaptionCandidates _),
+    "q_img_decode_meta" -> (IQ.qImgDecodeMeta _)
+  )
+
+  def oracleSql: Map[String, String] = {
+    // the driver substitutes its own table paths? No — it runs this SQL
+    // verbatim in DuckDB against the same sfDir; paths are embedded.
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    oracleSqlFor(d)
+  }
+
+  def oracleSqlFor(d: String): Map[String, String] = Map(
+    "q_hamming_hist" -> RQ.sqlHammingHist(d),
+    "q_band_extract" -> RQ.sqlBandExtract(d),
+    "q_band_join_pairs" -> RQ.sqlBandJoinPairs(d),
+    "q_connected_components" -> RQ.sqlConnectedComponents(d),
+    "q_dup_groups" -> RQ.sqlDupGroups(d),
+    "q_group_status" -> RQ.sqlGroupStatus(d),
+    "q_low_conf_gate" -> RQ.sqlLowConfGate(d),
+    "q_prune_anti_join" -> RQ.sqlPruneAntiJoin(d),
+    "q_cache_join" -> RQ.sqlCacheJoin(d),
+    "q_registry_reuse" -> RQ.sqlRegistryReuse(d),
+    "q_window_dup_counts" -> RQ.sqlWindowDupCounts(d),
+    "q_top_per_key" -> RQ.sqlTopPerKey(d),
+    "q_group_order_rank" -> RQ.sqlGroupOrderRank(d),
+    "q_set_ops" -> RQ.sqlSetOps(d),
+    "q_search_predicates" -> RQ.sqlSearchPredicates(d),
+    "q_search_query_lang" -> RQ.sqlSearchQueryLang(d),
+    "q_number_from_string" -> RQ.sqlNumberFromString(d),
+    "q_exif_timestamp" -> RQ.sqlExifTimestamp(d),
+    "q_dms_to_decimal" -> RQ.sqlDmsToDecimal(d),
+    "q_doc_shingles" -> TQ.sqlDocShingles(d),
+    "q_doc_minhash" -> TQ.sqlDocMinhash(d),
+    "q_minhash_band_pairs" -> TQ.sqlMinhashBandPairs(d),
+    "q_simhash" -> TQ.sqlSimhash(d),
+    "q_ngram_jaccard" -> TQ.sqlNgramJaccard(d),
+    "q_token_stats" -> TQ.sqlTokenStats(d),
+    "q_text_quality" -> TQ.sqlTextQuality(d),
+    "q_lang_id" -> TQ.sqlLangId(d),
+    "q_doc_fingerprint" -> TQ.sqlDocFingerprint(d),
+    "q_exact_dedup_docs" -> TQ.sqlExactDedupDocs(d),
+    "q_ann_topk" -> TQ.sqlAnnTopK(d),
+    "q_ann_lsh_buckets" -> TQ.sqlAnnLshBuckets(d),
+    "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d)
+  )
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's EXIF search predicate language (search_index.rs:700-909),
+ * re-expressed as a tiny parser producing Catalyst `Column` predicates —
+ * pure translation, no custom plan nodes (SURVEY.md §2.9).
+ *
+ * Grammar: whitespace/';'-separated conjunctive terms, each one of
+ *   tag:value            implicit op: numeric → Equals, else Contains
+ *   tag:min-max          numeric range (open-ended `min-` allowed)
+ *   tag:op:value         op ∈ = == eq | ~ contains like | re regex |
+ *                        < lt | <= le lte | > gt | >= ge gte
+ * Tag names resolve through a caller-supplied alias map (the analog of
+ * resolve_tag_alias, search_index.rs:859-909).
+ */
+object SearchQuery {
+  final case class Criterion(tag: String, op: String, value: String)
+
+  private val opAliases = Map(
+    "=" -> "eq", "==" -> "eq", "eq" -> "eq",
+    "~" -> "contains", "contains" -> "contains", "like" -> "contains",
+    "re" -> "regex", "regex" -> "regex",
+    "<" -> "lt", "lt" -> "lt",
+    "<=" -> "le", "le" -> "le", "lte" -> "le",
+    ">" -> "gt", "gt" -> "gt",
+    ">=" -> "ge", "ge" -> "ge", "gte" -> "ge")
+
+  private val rangeRe = "^(-?\\d+(?:\\.\\d+)?)-(-?\\d+(?:\\.\\d+)?)?$".r
+  private val numRe = "^-?\\d+(\\.\\d+)?$".r
+
+  /** parse_search_query analog (search_index.rs:700-734). */
+  def parse(query: String): Seq[Criterion] =
+    query.split("[\\s;]+").filter(_.nonEmpty).toSeq.flatMap { term =>
+      term.split(":", 3) match {
+        case Array(tag, value) =>
+          value match {
+            case rangeRe(min, max) if max != null => Seq(Criterion(tag, "range", s"$min:$max"))
+            case rangeRe(min, _) => Seq(Criterion(tag, "ge", min))
+            case v if numRe.matches(v) => Seq(Criterion(tag, "eq", v))
+            case v => Seq(Criterion(tag, "contains", v))
+          }
+        case Array(tag, op, value) if opAliases.contains(op) =>
+          Seq(Criterion(tag, opAliases(op), value))
+        case _ => Nil
+      }
+    }
+
+  /** Conjunctive Column predicate over `aliases: tagName → column`. */
+  def predicate(query: String, aliases: Map[String, Column]): Column =
+    parse(query).map { c =>
+      val col = aliases.getOrElse(c.tag.toLowerCase,
+        throw new IllegalArgumentException(s"unknown search tag: ${c.tag}"))
+      c.op match {
+        case "eq" if numRe.matches(c.value) => col === lit(c.value.toDouble)
+        case "eq" => col === lit(c.value)
+        case "contains" => lower(col.cast("string")).contains(c.value.toLowerCase)
+        case "regex" => col.cast("string").rlike(c.value)
+        case "lt" => col < lit(c.value.toDouble)
+        case "le" => col <= lit(c.value.toDouble)
+        case "gt" => col > lit(c.value.toDouble)
+        case "ge" => col >= lit(c.value.toDouble)
+        case "range" =>
+          val Array(mn, mx) = c.value.split(":")
+          col >= lit(mn.toDouble) && col <= lit(mx.toDouble)
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Pipeline
+import graft.cc.ConnectedComponents
+import graft.functions.MinHash
+import graft.groups.Groups
+import graft.lsh.BandJoin
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The image dedup pipeline itself, staged as driver-runnable queries over a
+ * deterministic synthesized corpus (no SQL oracle — DuckDB can't decode
+ * images; correctness is gated by the ScalaTest reference-semantics oracle,
+ * PipelineSpec). The driver's rows>0 check still exercises every stage.
+ */
+object ImageQueries {
+  private val NBases = 120L
+  @volatile private var corpusDir: String = _
+
+  /** Synthesize (once per JVM) and return the corpus dir. */
+  private def corpus(spark: SparkSession): String = synchronized {
+    if (corpusDir == null) {
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases"
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/images/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) Synth.generate(spark, NBases, dir)
+      corpusDir = dir
+    }
+    corpusDir
+  }
+
+  private def sigs(spark: SparkSession): DataFrame = {
+    val dir = corpus(spark)
+    val ckpt = new graft.ckpt.Ckpt(spark, s"$dir/work")
+    ckpt.stage("signatures")(
+      Pipeline.signatures(spark, Synth.readImages(spark, dir)))._1
+  }
+
+  /** S1-S8/P1-P11 — the decode+signature kernel (scalar columns). */
+  def qImgSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigs(spark).select(col("image_id"), col("ord"),
+      hex(col("content_hash")).as("content_hash"),
+      col("h0"), col("h1"), col("h2"), col("h3"),
+      col("quality"), col("low_conf").cast("int").as("low_conf"),
+      col("phash64"), col("has_pdq").cast("int").as("has_pdq"))
+      .orderBy("image_id")
+
+  /** J1 — LSH band keys of the stored hashes. */
+  def qImgBandKeys(spark: SparkSession, dir: String): DataFrame = {
+    val s = sigs(spark).where(col("has_pdq"))
+      .select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3"))
+    s.select(col("ord"),
+        posexplode(BandJoin.chunksArray(Seq("h0", "h1", "h2", "h3").map(col)))
+          .as(Seq("band_idx", "band_val")))
+      .orderBy("ord", "band_idx")
+  }
+
+  /** J2/J3/J4 — verified duplicate edges. */
+  def qImgEdges(spark: SparkSession, dir: String): DataFrame =
+    BandJoin.edges(sigs(spark), Pipeline.DefaultThreshold).orderBy("a", "b")
+
+  /** A1 — connected components over the edges. */
+  def qImgComponents(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(spark, qImgEdges(spark, dir)).orderBy("id")
+
+  /** A2-A7/W1 — final groups with analytics. */
+  def qImgGroups(spark: SparkSession, dir: String): DataFrame = {
+    val assembled = Groups.assemble(sigs(spark), qImgComponents(spark, dir))
+    Groups.groupSummary(assembled)
+      .select(col("comp"), col("group_size"), col("max_dist"), col("status"),
+        col("first_member"), array_join(sort_array(col("members")), ",").as("members"))
+      .orderBy("comp")
+  }
+
+  /** Recall surface — all dup pairs implied by grouping. */
+  def qImgDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val assembled = Groups.assemble(sigs(spark), qImgComponents(spark, dir))
+    Pipeline.dupPairs(assembled).orderBy("id_a", "id_b")
+  }
+
+  /** MinHash axis — caption LSH candidates with image-side verification:
+    * caption-dups bucket together but Hamming verify rejects them. */
+  def qImgCaptionCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val s = sigs(spark)
+    val bands = s.select(col("ord"), col("minhash"))
+      .select(col("ord"), posexplode(expr(
+        s"transform(sequence(0, ${MinHash.Bands - 1}), b -> " +
+          s"hash(slice(minhash, b * ${MinHash.RowsPerBand} + 1, ${MinHash.RowsPerBand})))"))
+        .as(Seq("band", "band_key")))
+    val a = bands.select(col("ord").as("a"), col("band"), col("band_key"))
+    val b = bands.select(col("ord").as("b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = s.select(col("ord").as("a"), col("h0").as("a0"), col("h1").as("a1"),
+      col("h2").as("a2"), col("h3").as("a3"), col("minhash").as("mha"))
+    val sb = s.select(col("ord").as("b"), col("h0").as("b0"), col("h1").as("b1"),
+      col("h2").as("b2"), col("h3").as("b3"), col("minhash").as("mhb"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), t -> t))")
+          .as("mh_matches"),
+        BandJoin.hammingCols(Seq("a0", "a1", "a2", "a3").map(col),
+          Seq("b0", "b1", "b2", "b3").map(col)).as("pdq_dist"))
+      .withColumn("image_verified",
+        (col("pdq_dist") <= Pipeline.DefaultThreshold).cast("int"))
+      .orderBy("a", "b")
+  }
+
+  /** Multimodal plumbing — per-row decode/meta stats from the kernel. */
+  def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = corpus(spark)
+    val images = Synth.readImages(spark, d)
+      .select(col("image_id"), col("fmt"), col("w"), col("h"),
+        length(col("bytes")).as("n_bytes"), length(col("caption")).as("cap_len"))
+    images.join(sigs(spark).select(col("image_id"), col("quality"), col("has_pdq")),
+        Seq("image_id"))
+      .select(col("image_id"), col("fmt"), col("w"), col("h"), col("n_bytes"),
+        col("cap_len"), col("quality"), col("has_pdq").cast("int").as("has_pdq"))
+      .orderBy("image_id")
+  }
+}

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline operators over the `documents` and `embeddings`
+ * tables: text analysis (language-ID, quality scoring, token counting,
+ * fingerprinting), document dedup (exact, MinHash+LSH, SimHash, n-gram
+ * Jaccard) and similarity search (quantized-cosine brute force + LSH
+ * buckets) — each with a DuckDB oracle.
+ *
+ * Cross-engine determinism: string hashing via md5 (identical hex in both),
+ * MinHash components compared as lexicographic-min md5 strings, embedding
+ * math on integer-quantized values (floor(x*1000+0.5)) so dot products and
+ * norm comparisons are exact integer arithmetic in both engines.
+ */
+object TextEmbedQueries {
+  private def pq(dir: String, t: String) = s"$dir/$t.parquet"
+  private def rd(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(pq(dir, t))
+
+  private val ShingleLen = 8
+  private val NumSeeds = 8
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  // =========================================================================
+  // UDTF-analog — char shingles with positions (explode)
+  // =========================================================================
+  def qDocShingles(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $ShingleLen)").as("shingle"))
+      .orderBy("doc_id", "pos")
+  def sqlDocShingles(dir: String): String =
+    s"""SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+       substr(text, i::INT, $ShingleLen) AS shingle
+       FROM documents, range(1, 4001) r(i)
+       WHERE doc_id < 50 AND i <= greatest(len(text) - ${ShingleLen - 1}, 1)
+       ORDER BY doc_id, pos"""
+
+  // =========================================================================
+  // MinHash signatures: component s = min(md5(s || ':' || shingle))
+  // =========================================================================
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), expr(s"substring(text, pos, $ShingleLen)").as("shingle"))
+
+  def qDocMinhash(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"), col("shingle"))
+      .groupBy(col("doc_id"), col("seed").cast("long").as("seed"))
+      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("minh"))
+      .orderBy("doc_id", "seed")
+  private def sqlMinhashCte(dir: String): String =
+    s"""sh AS (SELECT doc_id::BIGINT AS doc_id,
+         substr(text, i::INT, $ShingleLen) AS shingle
+         FROM documents, range(1, 4001) r(i)
+         WHERE i <= greatest(len(text) - ${ShingleLen - 1}, 1)),
+       mh AS (SELECT doc_id, s.seed::BIGINT AS seed,
+           min(md5(s.seed::VARCHAR || ':' || shingle)) AS minh
+         FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(seed)
+         GROUP BY doc_id, s.seed)"""
+  def sqlDocMinhash(dir: String): String =
+    s"WITH ${sqlMinhashCte(dir)} SELECT doc_id, seed, minh FROM mh ORDER BY doc_id, seed"
+
+  // =========================================================================
+  // MinHash LSH band join → candidate pairs + estimated Jaccard verify
+  // =========================================================================
+  def qMinhashBandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val mh = qDocMinhash(spark, dir)
+    // bands of 2 components; band key = md5 of the sorted "seed=minh" pairs
+    // (sorted so the aggregation order is engine-independent)
+    val bandedDet = mh.withColumn("band", floor(col("seed") / 2))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|", array_join(sort_array(collect_list(
+        concat(col("seed"), lit("="), col("minh")))), "|"))).as("band_key"))
+    val a = bandedDet.select(col("doc_id").as("a"), col("band"), col("band_key"))
+    val b = bandedDet.select(col("doc_id").as("b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verify: estimated jaccard = fraction of equal components
+    val mhA = mh.select(col("doc_id").as("a"), col("seed"), col("minh").as("ma"))
+    val mhB = mh.select(col("doc_id").as("b"), col("seed"), col("minh").as("mb"))
+    cand.join(mhA, "a").join(mhB, Seq("b", "seed"))
+      .groupBy("a", "b")
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("matches"))
+      .select(col("a"), col("b"),
+        expr(s"CAST(matches * 1000 div $NumSeeds AS BIGINT)").as("est_jaccard_x1000"))
+      .where(col("est_jaccard_x1000") >= 250)
+      .orderBy("a", "b")
+  }
+  def sqlMinhashBandPairs(dir: String): String =
+    s"""WITH ${sqlMinhashCte(dir)},
+       banded AS (SELECT doc_id, (seed // 2) AS band,
+           md5(string_agg(seed::VARCHAR || '=' || minh, '|' ORDER BY seed::VARCHAR || '=' || minh)) AS band_key
+         FROM mh GROUP BY doc_id, (seed // 2)),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+       SELECT cand.a, cand.b,
+         (sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) * 1000 // $NumSeeds)::BIGINT
+           AS est_jaccard_x1000
+       FROM cand JOIN mh ma ON ma.doc_id = cand.a JOIN mh mb
+         ON mb.doc_id = cand.b AND mb.seed = ma.seed
+       GROUP BY cand.a, cand.b
+       HAVING (sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) * 1000 // $NumSeeds) >= 250
+       ORDER BY a, b"""
+
+  // =========================================================================
+  // SimHash (16-bit, md5-nibble parities over whitespace tokens)
+  // =========================================================================
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .select(col("doc_id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("bit",
+        expr("(instr('0123456789abcdef', substring(h, cast(i+1 as int), 1)) - 1) % 2"))
+      .groupBy("doc_id", "i")
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0,
+        expr("cast(shiftleft(1, cast(i as int)) as bigint)")).otherwise(0L))
+        .cast("long").as("simhash"))
+      .orderBy("doc_id")
+  def sqlSimhash(dir: String): String =
+    s"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id, md5(tok) AS h
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents) t WHERE tok <> ''),
+       votes AS (SELECT doc_id, i,
+           sum(((strpos('0123456789abcdef', substr(h, (i+1)::INT, 1)) - 1) % 2) * 2 - 1) AS vote
+         FROM toks, range(0, 16) r(i) GROUP BY doc_id, i)
+       SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+       FROM votes GROUP BY doc_id ORDER BY doc_id"""
+
+  // =========================================================================
+  // n-gram (word bigram) Jaccard between same-source doc pairs
+  // =========================================================================
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = rd(spark, dir, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), " +
+            "i -> concat(try_element_at(split(text, ' '), i), ' ', " +
+            "try_element_at(split(text, ' '), i + 1)))")).as("gram"))
+      .where(col("gram").isNotNull && col("gram") =!= "")
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ga = grams.select(col("doc_id").as("a"), col("source"), col("gram"))
+    val gb = grams.select(col("doc_id").as("b"), col("source"), col("gram"))
+    val inter = ga.join(gb, Seq("source", "gram")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .select(col("a"), col("b"),
+        expr("CAST(inter * 1000 div (sa + sb - inter) AS BIGINT)").as("jaccard_x1000"))
+      .where(col("jaccard_x1000") >= 100)
+      .orderBy("a", "b")
+  }
+  def sqlNgramJaccard(dir: String): String =
+    s"""WITH docs AS (SELECT doc_id::BIGINT AS doc_id, source, string_split(text, ' ') AS w
+         FROM documents WHERE doc_id < 200),
+       grams AS (SELECT DISTINCT doc_id, source, w[i::INT] || ' ' || w[(i+1)::INT] AS gram
+         FROM docs, range(1, 2001) r(i)
+         WHERE i <= greatest(len(w) - 1, 1)
+           AND w[i::INT] IS NOT NULL AND (w[i::INT] || ' ' || w[(i+1)::INT]) <> ''),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         FROM grams x JOIN grams y
+           ON x.source = y.source AND x.gram = y.gram AND x.doc_id < y.doc_id
+         GROUP BY x.doc_id, y.doc_id)
+       SELECT a, b, (inter * 1000 // (sa.sz + sb.sz - inter))::BIGINT AS jaccard_x1000
+       FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       WHERE (inter * 1000 // (sa.sz + sb.sz - inter)) >= 100
+       ORDER BY a, b"""
+
+  // =========================================================================
+  // Token counting (whitespace + regex word classes)
+  // =========================================================================
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars2"),
+        size(split(col("text"), "[aeiou]")).cast("long").minus(1).as("n_vowel_splits"))
+      .orderBy("doc_id")
+  def sqlTokenStats(dir: String): String =
+    s"""SELECT doc_id::BIGINT AS doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens,
+       len(text)::BIGINT AS n_chars2,
+       (len(string_split_regex(text, '[aeiou]')) - 1)::BIGINT AS n_vowel_splits
+       FROM documents ORDER BY doc_id"""
+
+  // =========================================================================
+  // Text quality scoring (length / space / stopword ratios) ×1000 integer
+  // =========================================================================
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(Stop: _*))).cast("long"))
+      .withColumn("n_space", (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast("long"))
+    d.select(col("doc_id"), col("n_tok"), col("n_stop"), col("n_space"),
+        expr("CAST(n_stop * 1000 div greatest(n_tok, 1) AS BIGINT)")
+          .as("stop_ratio_x1000"),
+        expr("CAST(n_space * 1000 div greatest(length(text), 1) AS BIGINT)")
+          .as("space_ratio_x1000"))
+      .orderBy("doc_id")
+  }
+  def sqlTextQuality(dir: String): String = {
+    val stopList = Stop.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         FROM documents)
+       SELECT doc_id, len(toks)::BIGINT AS n_tok,
+         len(list_filter(toks, t -> t IN ($stopList)))::BIGINT AS n_stop,
+         (len(text) - len(replace(text, ' ', '')))::BIGINT AS n_space,
+         (len(list_filter(toks, t -> t IN ($stopList))) * 1000 //
+           greatest(len(toks), 1))::BIGINT AS stop_ratio_x1000,
+         ((len(text) - len(replace(text, ' ', ''))) * 1000 //
+           greatest(len(text), 1))::BIGINT AS space_ratio_x1000
+       FROM d ORDER BY doc_id"""
+  }
+
+  // =========================================================================
+  // Language-ID heuristic (stopword-hit argmax)
+  // =========================================================================
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "to", "is")
+    val de = Seq("der", "die", "und", "ist", "das", "ein")
+    val fr = Seq("le", "la", "et", "est", "un", "une")
+    def hits(ws: Seq[String]) =
+      size(filter(col("toks"), t => t.isin(ws: _*))).cast("long")
+    rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"), hits(en).as("en_hits"), hits(de).as("de_hits"),
+        hits(fr).as("fr_hits"))
+      .withColumn("pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de").otherwise("fr"))
+      .orderBy("doc_id")
+  }
+  def sqlLangId(dir: String): String =
+    s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         FROM documents),
+       h AS (SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','to','is')))::BIGINT AS en_hits,
+         len(list_filter(toks, t -> t IN ('der','die','und','ist','das','ein')))::BIGINT AS de_hits,
+         len(list_filter(toks, t -> t IN ('le','la','et','est','un','une')))::BIGINT AS fr_hits
+         FROM d)
+       SELECT doc_id, en_hits, de_hits, fr_hits,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred
+       FROM h ORDER BY doc_id"""
+
+  // =========================================================================
+  // Document fingerprint: lexicographic-min shingle md5 (winnow-lite)
+  // =========================================================================
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("fingerprint"))
+      .orderBy("doc_id")
+  def sqlDocFingerprint(dir: String): String =
+    s"""SELECT doc_id::BIGINT AS doc_id, min(md5(substr(text, i::INT, $ShingleLen))) AS fingerprint
+       FROM documents, range(1, 4001) r(i)
+       WHERE i <= greatest(len(text) - ${ShingleLen - 1}, 1)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // =========================================================================
+  // Exact dedup: md5(text) groups with keeper + count
+  // =========================================================================
+  def qExactDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("doc_id")).cast("long").as("keeper"))
+      .orderBy("text_hash")
+  def sqlExactDedupDocs(dir: String): String =
+    s"""SELECT md5(text) AS text_hash, count(*)::BIGINT AS n,
+       min(doc_id)::BIGINT AS keeper
+       FROM documents GROUP BY md5(text) ORDER BY text_hash"""
+
+  // =========================================================================
+  // ANN: quantized-dot-product top-k (brute force baseline)
+  // =========================================================================
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x") * 1000 + 0.5).cast("long").as("q"))
+
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val queries = all.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("i"), col("q").as("qq"))
+    val scores = queries.join(all.select(col("vec_id").as("nb"), col("i"),
+        col("q").as("nq")), "i")
+      .where(col("qid") =!= col("nb"))
+      .groupBy("qid", "nb").agg(sum(col("qq") * col("nq")).cast("long").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nb").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("qid", "rank", "nb", "score")
+      .orderBy("qid", "rank")
+  }
+  def sqlAnnTopK(dir: String): String =
+    s"""WITH q AS (SELECT vec_id::BIGINT AS vec_id,
+         unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       qq AS (SELECT vec_id, i, floor(x * 1000 + 0.5)::BIGINT AS q FROM q),
+       scores AS (SELECT a.vec_id AS qid, b.vec_id AS nb,
+           sum(a.q * b.q)::BIGINT AS score
+         FROM qq a JOIN qq b ON a.i = b.i AND a.vec_id <> b.vec_id
+         WHERE a.vec_id < 20 GROUP BY a.vec_id, b.vec_id),
+       ranked AS (SELECT qid, nb, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb ASC)::BIGINT AS rank
+         FROM scores)
+       SELECT qid, rank, nb, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+
+  // =========================================================================
+  // ANN scale path: random-hyperplane LSH buckets
+  // =========================================================================
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val proj = all
+      .select(col("vec_id"), col("i"), col("q"),
+        explode(sequence(lit(0), lit(7))).as("p"))
+      .withColumn("wgt", ((col("i") + 1) * 37 + col("p") * 61) % 19 - 9)
+      .groupBy("vec_id", "p").agg(sum(col("wgt") * col("q")).as("proj"))
+    proj.groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0,
+        expr("cast(shiftleft(1, cast(p as int)) as bigint)")).otherwise(0L))
+        .cast("long").as("bucket"))
+      .orderBy("vec_id")
+  }
+  def sqlAnnLshBuckets(dir: String): String =
+    s"""WITH qq AS (SELECT vec_id::BIGINT AS vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         floor(unnest(embedding) * 1000 + 0.5)::BIGINT AS q
+         FROM embeddings),
+       proj AS (SELECT vec_id, p, sum(((i * 37 + p * 61) % 19 - 9) * q) AS proj
+         FROM qq, range(0, 8) r(p) GROUP BY vec_id, p)
+       SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+       FROM proj GROUP BY vec_id ORDER BY vec_id"""
+
+  // =========================================================================
+  // Embedding near-dup pairs: exact integer cosine² threshold within buckets
+  // =========================================================================
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val buckets = qAnnLshBuckets(spark, dir)
+    val norms = all.groupBy("vec_id").agg(sum(col("q") * col("q")).as("norm"))
+    val withB = buckets.join(norms, "vec_id")
+    val a = withB.select(col("vec_id").as("a"), col("bucket"), col("norm").as("na"))
+    val b = withB.select(col("vec_id").as("b"), col("bucket"), col("norm").as("nb"))
+    val cand = a.join(b, "bucket").where(col("a") < col("b"))
+    val qa = all.select(col("vec_id").as("a"), col("i"), col("q").as("xa"))
+    val qb = all.select(col("vec_id").as("b"), col("i"), col("q").as("xb"))
+    cand.join(qa, "a").join(qb, Seq("b", "i"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(sum(col("xa") * col("xb")).as("score"))
+      // cos ≥ 0.4  ⇔  score>0 ∧ 100·score² ≥ 16·na·nb  (exact integers)
+      .where(col("score") > 0 &&
+        col("score") * col("score") * 100 >= col("na") * col("nb") * 16)
+      .select(col("a"), col("b"), col("score").cast("long").as("score"))
+      .orderBy("a", "b")
+  }
+  def sqlEmbedNearDup(dir: String): String =
+    s"""WITH qq AS (SELECT vec_id::BIGINT AS vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         floor(unnest(embedding) * 1000 + 0.5)::BIGINT AS q
+         FROM embeddings),
+       proj AS (SELECT vec_id, p, sum(((i * 37 + p * 61) % 19 - 9) * q) AS proj
+         FROM qq, range(0, 8) r(p) GROUP BY vec_id, p),
+       buckets AS (SELECT vec_id,
+           sum(CASE WHEN proj > 0 THEN (1::BIGINT << p::INT) ELSE 0 END) AS bucket
+         FROM proj GROUP BY vec_id),
+       norms AS (SELECT vec_id, sum(q * q) AS norm FROM qq GROUP BY vec_id),
+       cand AS (SELECT x.vec_id AS a, y.vec_id AS b, nx.norm AS na, ny.norm AS nb
+         FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         JOIN norms nx ON nx.vec_id = x.vec_id JOIN norms ny ON ny.vec_id = y.vec_id),
+       scored AS (SELECT cand.a, cand.b, cand.na, cand.nb, sum(xa.q * xb.q) AS score
+         FROM cand JOIN qq xa ON xa.vec_id = cand.a
+         JOIN qq xb ON xb.vec_id = cand.b AND xb.i = xa.i
+         GROUP BY cand.a, cand.b, cand.na, cand.nb)
+       SELECT a, b, score::BIGINT AS score FROM scored
+       WHERE score > 0 AND score * score * 100 >= na * nb * 16
+       ORDER BY a, b"""
+}
