@@ -1,24 +1,125 @@
 package graft
+
+import graft.synth.Synth
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main — prints ONE JSON line:
+ *   {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+ *    "scaling":{...}}
+ *
+ * Two parts:
+ *  1. Headline operator queries on SPARK_GRAFT_SF_DIR (driver-provided
+ *     TPC-H-ish tables) at SPARK_GRAFT_CPUS.
+ *  2. The north-rule scaling evidence: the full image dedup pipeline
+ *     (signatures → LSH → CC → groups) over an identical synthesized
+ *     corpus at local[8] and local[32] — the sandbox stand-in for N vs 4N
+ *     executors — reporting images/sec at both and the scaling efficiency
+ *     tp(4N) / (4 · tp(N)).
+ */
 object Bench {
+  private val HeadlineQueries = Seq(
+    "q_hamming_hist", "q_band_extract", "q_band_join_pairs",
+    "q_connected_components", "q_dup_groups", "q_doc_minhash",
+    "q_minhash_band_pairs", "q_simhash", "q_ann_topk", "q_embed_near_dup",
+    "q_window_dup_counts", "q_exact_dedup_docs")
+
+  // ~82k images: big enough that per-run fixed overhead (~9 s of plan/
+  // commit/schedule) stays under 10% of the 4-core run, so measured
+  // scaling reflects the plan, not Spark constants
+  private val BenchBases =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "30000").toLong
+
+  private def session(cpus: Int): SparkSession = {
+    val s = Pipeline.session(s"local[$cpus]", shufflePartitions = math.max(cpus, 8))
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val Jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Spawn BenchOne in a fresh JVM; parse its BENCHONE line. */
+  private def runIsolated(cpus: Int, corpusDir: String, workDir: String): (Long, Double) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}") ++
+      Jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.BenchOne", cpus.toString, corpusDir, workDir)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val errDrain = new Thread(() => {
+      val e = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      while (e.read(buf) >= 0) {}
+    })
+    errDrain.setDaemon(true); errDrain.start()
+    var line = reader.readLine()
+    var result: Option[(Long, Double)] = None
+    while (line != null) {
+      if (line.startsWith("BENCHONE ")) {
+        val json = line.stripPrefix("BENCHONE ")
+        val n = "\"images\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+        val s = "\"sec\":([0-9.]+)".r.findFirstMatchIn(json).get.group(1).toDouble
+        result = Some((n, s))
+      }
+      line = reader.readLine()
+    }
+    proc.waitFor()
+    result.getOrElse(throw new RuntimeException(s"BenchOne($cpus) produced no result"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val corpusDir = s"/root/repo/target/bench-corpus-$BenchBases"
+
+    // --- part 1: headline queries at the driver's parallelism ---
+    var spark = session(cpus)
+    val marker = new org.apache.hadoop.fs.Path(s"$corpusDir/images/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) Synth.generate(spark, BenchBases, corpusDir)
+
+    val queryTimes = HeadlineQueries.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // --- part 2: dedup pipeline at N and 4N parallelism ---
+    // Each measurement runs in its OWN child JVM (the local-mode stand-in
+    // for one spark-submit per cluster size): sequential SparkContexts in
+    // one JVM accumulate state and degrade 10×+, poisoning the comparison.
+    // N=4 vs 4N=16: both levels stay within the machine's ~16 physical
+    // cores — at local[32] the extra 16 are SMT siblings worth ~0.65 of a
+    // core, which caps even perfect scaling at ~0.81 efficiency and says
+    // nothing about the plan's parallelism.
+    val (n8, t8) = runIsolated(4, corpusDir, s"$tmp/run_n")
+    val (n32, t32) = runIsolated(16, corpusDir, s"$tmp/run_4n")
+
+    val tp8 = n8 / t8
+    val tp32 = n32 / t32
+    val efficiency = tp32 / (4.0 * tp8)
+
+    val qs = (queryTimes ++ Seq(
+      "img_pipeline_local4" -> t8, "img_pipeline_local16" -> t32))
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum + t8 + t32
+    val scaling = f"""{"images":$n32,"n_cores":4,"img_per_sec_n":$tp8%.1f,""" +
+      f""""img_per_sec_4n":$tp32%.1f,"efficiency":$efficiency%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

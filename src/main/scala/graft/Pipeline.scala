@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   final val DefaultThreshold = 40 // phdupes.rs:353-355
 
-  def session(master: String, shufflePartitions: Int = 32): SparkSession =
+  def session(master: String, shufflePartitions: Int = 32): SparkSession = {
+    // shuffle through RAM, not container disk: local[N] is the stand-in for
+    // a cluster whose shuffle goes over NVMe/network — disk /tmp serializes
+    // I/O-bound stages and hides CPU scaling
+    val shmBase = new java.io.File("/dev/shm")
+    val localDir =
+      if (shmBase.isDirectory && shmBase.canWrite) "/dev/shm/graft-spark-local"
+      else s"${sys.props("java.io.tmpdir")}/graft-spark-local"
+    new java.io.File(localDir).mkdirs()
     SparkSession.builder()
       .master(master)
       .appName("graft-dedup")
@@ -34,14 +42,21 @@ object Pipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
 
-  /** Compute signatures with a frozen dense ord. */
+  /** Compute signatures with a frozen dense ord. The image_id dedup
+    * (S1/F6) runs AFTER the kernel on compact signature rows — deduping
+    * first would shuffle every image's bytes; deduping ~400-byte signature
+    * rows shuffles 1000× less (at 100 TB: the difference between an
+    * impossible shuffle and a trivial one). */
   def signatures(spark: SparkSession, images: DataFrame): DataFrame =
-    SignatureKernel.signatures(spark, images.dropDuplicates("image_id"))
+    SignatureKernel.signatures(spark, images)
       .toDF()
+      .dropDuplicates("image_id")
       .withColumn("ord", monotonically_increasing_id())
 
   /** Full run. Returns the per-member groups frame. */
@@ -59,6 +74,7 @@ object Pipeline {
       ConnectedComponents.run(spark, edges))
 
     val (grouped, _) = ckpt.stage("groups")(Groups.assemble(sig, comps))
+    ckpt.flush()
     grouped
   }
 

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_number_from_string" -> (RQ.qNumberFromString _),
     "q_exif_timestamp" -> (RQ.qExifTimestamp _),
     "q_dms_to_decimal" -> (RQ.qDmsToDecimal _),
+    "q_natural_sort" -> (RQ.qNaturalSort _),
     // text / dedup / ANN operators (DuckDB-gated)
     "q_doc_shingles" -> (TQ.qDocShingles _),
     "q_doc_minhash" -> (TQ.qDocMinhash _),

@@ -52,18 +52,32 @@ object ConnectedComponents {
     (row.getLong(0), if (row.isNullAt(1)) "0" else row.getDecimal(1).toString)
   }
 
+  /** Edge-count threshold below which the driver union-find path runs:
+    * one collect + one parallelize instead of ~10 shuffle rounds. 2M edges
+    * ≈ 32 MB on the driver — trivial. The reference's union-find is always
+    * driver-side (scanner.rs:1781-1807); the iterative path is what it
+    * never needed. */
+  final val DriverPathMaxEdges = 2000000L
+
   /**
    * edges: (a: long, b: long) — undirected, self-loops ignored.
    * Returns (id: long, comp: long) for every node incident to an edge;
    * comp is the minimum node id of the component. Isolated nodes are the
    * caller's concern (they are their own group of size 1 and filtered out
    * by the size>1 rule anyway, scanner.rs:1817).
+   *
+   * Scale-adaptive: below DriverPathMaxEdges the exact union-find runs on
+   * the driver (results identical — comp = min member either way); above
+   * it the O(log n)-round large-star/small-star iteration takes over.
    */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
+          driverPathMaxEdges: Long = DriverPathMaxEdges): DataFrame = {
     var e = edges.select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    val nEdges = e.count()
+    if (nEdges <= driverPathMaxEdges) return driverUnionFind(spark, e)
     var prev = checksum(e)
     var i = 0
     var converged = false
@@ -80,5 +94,33 @@ object ConnectedComponents {
     val roots = e.select(col("dst").as("id"), col("dst").as("comp")).distinct()
     children.unionByName(roots)
       .groupBy("id").agg(min("comp").as("comp"))
+  }
+
+  /** Exact union-find with path halving (scanner.rs:1781-1807 port) over
+    * collected edges; comp canonicalized to the min member. */
+  private def driverUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x
+      while (cur != root) { val next = parent.get(cur); parent.put(cur, root); cur = next }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val nodes = parent.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
+    val byRoot = nodes.groupBy(find)
+    val out = byRoot.iterator.flatMap { case (_, members) =>
+      val mn = members.min
+      members.iterator.map(m => (m, mn))
+    }.toSeq
+    spark.createDataset(out).toDF("id", "comp")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
   }
 }

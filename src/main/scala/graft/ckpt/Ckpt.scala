@@ -24,10 +24,17 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  private val pendingLineage =
+    scala.collection.mutable.ArrayBuffer[(String, Long, Long, String)]()
+  private val pendingMetrics =
+    scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
+
   /** Run `compute` unless `stage` is already committed; always returns the
     * materialized frame (reads back from parquet so downstream plans start
     * from a stable scan, and `monotonically_increasing_id`-derived columns
-    * are frozen). Returns (frame, cacheHit). */
+    * are frozen). Returns (frame, cacheHit). Lineage rows are buffered —
+    * call flush() once per run so the side-table writes cost one job, not
+    * one per stage. */
   def stage(stageName: String)(compute: => DataFrame): (DataFrame, Boolean) = {
     if (committed(stageName)) {
       (spark.read.parquet(path(stageName)), true)
@@ -35,23 +42,31 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path(stageName))
       val out = spark.read.parquet(path(stageName))
+      // parquet metadata-only count — no data scan
       appendLineage(stageName, out.count(), (System.nanoTime() - t0) / 1000000)
       (out, false)
     }
   }
 
-  def appendLineage(stageName: String, rows: Long, wallMs: Long): Unit = {
-    import spark.implicits._
-    Seq((stageName, rows, wallMs, java.time.Instant.now.toString))
-      .toDF("stage", "rows", "wall_ms", "committed_at")
-      .write.mode(SaveMode.Append).parquet(s"$workDir/_lineage")
-  }
+  def appendLineage(stageName: String, rows: Long, wallMs: Long): Unit =
+    pendingLineage += ((stageName, rows, wallMs, java.time.Instant.now.toString))
 
-  def appendMetric(name: String, value: Double): Unit = {
+  def appendMetric(name: String, value: Double): Unit =
+    pendingMetrics += ((name, value, java.time.Instant.now.toString))
+
+  /** Commit buffered lineage + metrics rows (one append job each). */
+  def flush(): Unit = {
     import spark.implicits._
-    Seq((name, value, java.time.Instant.now.toString))
-      .toDF("metric", "value", "at")
-      .write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
+    if (pendingLineage.nonEmpty) {
+      pendingLineage.toSeq.toDF("stage", "rows", "wall_ms", "committed_at")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$workDir/_lineage")
+      pendingLineage.clear()
+    }
+    if (pendingMetrics.nonEmpty) {
+      pendingMetrics.toSeq.toDF("metric", "value", "at")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
+      pendingMetrics.clear()
+    }
   }
 
   def lineage: DataFrame = spark.read.parquet(s"$workDir/_lineage")

@@ -37,6 +37,11 @@ object SearchQuery {
       term.split(":", 3) match {
         case Array(tag, value) =>
           value match {
+            // convenience shorthand: tag:>5 / tag:<=2.8 (op glued to value)
+            case v if v.startsWith(">=") => Seq(Criterion(tag, "ge", v.drop(2)))
+            case v if v.startsWith("<=") => Seq(Criterion(tag, "le", v.drop(2)))
+            case v if v.startsWith(">") => Seq(Criterion(tag, "gt", v.drop(1)))
+            case v if v.startsWith("<") => Seq(Criterion(tag, "lt", v.drop(1)))
             case rangeRe(min, max) if max != null => Seq(Criterion(tag, "range", s"$min:$max"))
             case rangeRe(min, _) => Seq(Criterion(tag, "ge", min))
             case v if numRe.matches(v) => Seq(Criterion(tag, "eq", v))

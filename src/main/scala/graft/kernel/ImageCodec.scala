@@ -43,6 +43,10 @@ final case class DecodedImage(w: Int, h: Int, argb: Array[Int]) {
  * (schema, per-row try-fallback, fmt dispatch) is identical.
  */
 object ImageCodec {
+  // in-memory ImageInputStreams: the default file-backed cache serializes
+  // parallel decodes on temp-dir I/O
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Option[DecodedImage] =
     try {
       fmt match {

@@ -82,40 +82,64 @@ object BandJoin {
    * probe semantics: the PROBE side expands all 8 dihedral variant hashes
    * (store-1/query-8, scanner.rs:1700-1724), the INDEX side holds originals.
    *
+   * `saltFactor` > 1 splits every band bucket into S sub-buckets on the
+   * index side (salt = pmod(ord, S)) and replicates the probe side ×S —
+   * the explicit-salting fallback for corpora whose hot buckets exceed
+   * what AQE skew-join splitting handles (SURVEY.md §4). Recall-neutral:
+   * every (probe, index) pair still meets in exactly one salted bucket.
+   *
    * `sig` needs: ord, h0..h3, variants, low_conf, has_pdq.
    * Returns (a, b, dist) with a < b.
    */
-  def fuzzyEdges(sig: DataFrame, threshold: Int): DataFrame = {
+  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
     val tol = threshold / NumChunks
-    val rIdx = tol / 2
+    // split the probe radius to minimize total exploded rows: the probe
+    // side is 8× heavier (one row per dihedral variant), so weigh it 8×.
+    // tol=2 → (2,0): 137+8 rows/chunk vs (1,1): 17+136 — and the shuffled
+    // probe side stays minimal.
+    val rIdx = (0 to tol).minBy(r => masks(r).length + 8 * masks(tol - r).length)
     val rPrb = tol - rIdx
 
     val conf = sig.filter(col("has_pdq") && !col("low_conf"))
 
-    val idx = bandKeys(
+    val idx0 = bandKeys(
       conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),
       Seq("h0", "h1", "h2", "h3"), rIdx)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
+    val idx = if (saltFactor <= 1) idx0.withColumn("salt", lit(0))
+      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltFactor)).cast("int"))
 
     val prbBase = conf
       .select(col("ord"), explode(col("variants")).as("v"))
       .select(col("ord"),
         col("v").getItem(0).as("v0"), col("v").getItem(1).as("v1"),
         col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
-    val prb = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb)
+    val prb0 = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("v0"), col("v1"), col("v2"), col("v3"))
+    val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
+      else prb0.withColumn("salt", explode(lit((0 until saltFactor).toArray)))
 
     val vh = Seq("v0", "v1", "v2", "v3").map(col)
     val ch = Seq("c0", "c1", "c2", "c3").map(col)
-    prb.join(idx, Seq("band_idx", "band_val"))
-      .where(col("q_ord") < col("c_ord")) // canonical i<j (scanner.rs:1714-1717)
+    // Symmetric probing (vs the reference's scan-order-dependent i<j,
+    // scanner.rs:1714-1717): a pair is an edge when EITHER side's dihedral
+    // variants match the other's stored hash — deterministic under any
+    // partitioning/ord assignment, and a superset of any single scan order.
+    // SHUFFLE_HASH, build side = probe: the planner must not broadcast
+    // either side — Catalyst estimates relation size from the pre-explode
+    // scan, which under-counts the band explosion by 100-2000×, and a
+    // broadcast of the exploded index is a GB-scale driver build. A
+    // partitioned hash join needs no sort and scales with executors.
+    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val", "salt"))
+      .where(col("q_ord") =!= col("c_ord"))
       .withColumn("dist", hammingCols(vh, ch))
       .where(col("dist") <= threshold)
-      .groupBy(col("q_ord").as("a"), col("c_ord").as("b"))
+      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
+        greatest(col("q_ord"), col("c_ord")).as("b"))
       .agg(min("dist").as("dist"))
   }
 
@@ -144,8 +168,8 @@ object BandJoin {
   }
 
   /** All verified duplicate edges (a < b, minimal dist per pair). */
-  def edges(sig: DataFrame, threshold: Int): DataFrame =
-    fuzzyEdges(sig, threshold)
+  def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame =
+    fuzzyEdges(sig, threshold, saltFactor)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

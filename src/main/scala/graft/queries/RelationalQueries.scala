@@ -435,6 +435,19 @@ object RelationalQueries {
        FROM part ORDER BY p_partkey"""
 
   // =========================================================================
+  // W3 — natural sort (digit runs numeric). Rows-only: the zero-pad key
+  // needs regex lookarounds, which DuckDB's RE2 lacks.
+  // =========================================================================
+  def qNaturalSort(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(
+      graft.functions.NaturalSort.key(col("p_name")).asc, col("p_partkey").asc)
+    rd(spark, dir, "part")
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"))
+      .withColumn("nat_rank", row_number().over(w).cast("long"))
+      .orderBy("p_partkey")
+  }
+
+  // =========================================================================
   // P16 — EXIF-style timestamp round-trip parse
   // =========================================================================
   def qExifTimestamp(spark: SparkSession, dir: String): DataFrame =

@@ -32,13 +32,17 @@ class CcSpec extends AnyFunSuite {
   private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val df = edges.toDF("a", "b")
-    val got = ConnectedComponents.run(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    for (v <- touched)
-      assert(got(v) == want(v), s"node $v: got ${got.get(v)}, want ${want(v)}")
-    assert(got.keySet == touched)
+    // both execution paths must agree with the oracle: forced iterative
+    // (large-star/small-star) and the adaptive driver union-find
+    for (cap <- Seq(0L, Long.MaxValue)) {
+      val got = ConnectedComponents.run(spark, df, driverPathMaxEdges = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (v <- touched)
+        assert(got(v) == want(v), s"cap=$cap node $v: got ${got.get(v)}, want ${want(v)}")
+      assert(got.keySet == touched, s"cap=$cap node set mismatch")
+    }
   }
 
   test("chain, star, cycle, disjoint cliques") {

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{NaturalSort, SearchQuery}
+import graft.kernel.Pdq
+import graft.lsh.BandJoin
+import graft.streaming.StreamingSignatures
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtrasSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("salted band join is recall-neutral (same edge set at S=1 and S=4)") {
+    import spark.implicits._
+    val r = new java.util.Random(9)
+    def rh(): Array[Byte] = { val b = new Array[Byte](32); r.nextBytes(b); b }
+    val base = rh()
+    def flip(h: Array[Byte], n: Int): Array[Byte] = {
+      val out = h.clone()
+      (0 until n).foreach { i => out(i) = (out(i) ^ 1).toByte }
+      out
+    }
+    val hashes = Seq(base, flip(base, 2), flip(base, 4)) ++ Seq.fill(200)(rh())
+    val sig = hashes.zipWithIndex.map { case (h, i) =>
+      val l = Pdq.toLongs(h)
+      (i.toLong, l(0), l(1), l(2), l(3), Array(l), false, true)
+    }.toDF("ord", "h0", "h1", "h2", "h3", "variants", "low_conf", "has_pdq")
+    def edgeSet(s: Int) = BandJoin.edges(sig, 40, saltFactor = s).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(edgeSet(1) == edgeSet(4))
+    assert(edgeSet(1).nonEmpty)
+  }
+
+  test("natural sort key orders digit runs numerically") {
+    import spark.implicits._
+    val names = Seq("img10", "img2", "IMG1", "img2b", "a100b20", "a100b3")
+    val sorted = names.toDF("n").orderBy(NaturalSort.key(col("n")).asc)
+      .collect().map(_.getString(0)).toSeq
+    // case-insensitive text order, digit runs numeric: img2 < img10, b3 < b20
+    assert(sorted == Seq("a100b3", "a100b20", "IMG1", "img2", "img2b", "img10"))
+  }
+
+  test("search query parser: ops, ranges, implicit contains") {
+    val cs = SearchQuery.parse("size:10-30 name:contains:red iso:1600- f:>2.8 make:Canon")
+    assert(cs.map(c => (c.tag, c.op)) == Seq(
+      ("size", "range"), ("name", "contains"), ("iso", "ge"), ("f", "gt"),
+      ("make", "contains")))
+    assert(SearchQuery.parse("n:42").head.op == "eq")
+  }
+
+  test("streaming signatures: files stream through the kernel, checkpointed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val rows = (0L until 6L).flatMap(graft.synth.Synth.rowsForBase)
+      .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+    rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamingSignatures.start(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == rows.size)
+    assert(out.where(col("has_pdq")).count() > 0)
+    // restart with no new files: idempotent, no duplicate appends
+    val q2 = StreamingSignatures.start(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/out").count() == rows.size)
+  }
+
+  test("windowed ingest metrics (watermark + tumbling window)") {
+    import spark.implicits._
+    val events = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), "scan", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:02:00"), "scan", 2.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:07:00"), "hash", 3.0))
+      .toDF("ts", "event_type", "value")
+    val m = StreamingSignatures.ingestMetrics(events).collect()
+    assert(m.length == 2)
+  }
+}

@@ -41,7 +41,12 @@ class PipelineSpec extends AnyFunSuite {
         val baseLimit = if (si.low_conf) 0 else Threshold
         val limit = if (sj.low_conf) 0 else baseLimit
         val hj = Array(sj.h0, sj.h1, sj.h2, sj.h3)
-        val minDist = si.variants.map(v => graft.kernel.Pdq.hammingLongs(v, hj)).min
+        val hi = Array(si.h0, si.h1, si.h2, si.h3)
+        // symmetric: either side's dihedral variants vs the other's hash
+        // (the pipeline is scan-order-independent; see BandJoin.fuzzyEdges)
+        val minDist = math.min(
+          si.variants.map(v => graft.kernel.Pdq.hammingLongs(v, hj)).min,
+          sj.variants.map(v => graft.kernel.Pdq.hammingLongs(v, hi)).min)
         if (minDist <= limit) union(i, j)
       }
     }
