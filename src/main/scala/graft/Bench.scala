@@ -47,13 +47,14 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Spawn BenchOne in a fresh JVM; parse its BENCHONE line. */
-  private def runIsolated(cpus: Int, corpusDir: String, workDir: String): (Long, Double) = {
+  private def runIsolated(cpus: Int, corpusDir: String, workDir: String,
+                          reps: Int): (Long, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cmd = Seq(javaBin, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}") ++
       Jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.tools.BenchOne", cpus.toString, corpusDir, workDir)
+      "graft.tools.BenchOne", cpus.toString, corpusDir, workDir, reps.toString)
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
     val reader = new java.io.BufferedReader(
@@ -107,8 +108,8 @@ object Bench {
     // cores — at local[32] the extra 16 are SMT siblings worth ~0.65 of a
     // core, which caps even perfect scaling at ~0.81 efficiency and says
     // nothing about the plan's parallelism.
-    val (n8, t8) = runIsolated(4, corpusDir, s"$tmp/run_n")
-    val (n32, t32) = runIsolated(16, corpusDir, s"$tmp/run_4n")
+    val (n8, t8) = runIsolated(4, corpusDir, s"$tmp/run_n", reps = 1)
+    val (n32, t32) = runIsolated(16, corpusDir, s"$tmp/run_4n", reps = 2)
 
     val tp8 = n8 / t8
     val tp32 = n32 / t32

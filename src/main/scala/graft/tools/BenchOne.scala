@@ -9,6 +9,7 @@ import graft.synth.Synth
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val Array(cpus, corpusDir, workDir) = args.take(3)
+    val reps = if (args.length > 3) args(3).toInt else 2
     val spark = Pipeline.session(s"local[$cpus]", shufflePartitions = math.max(cpus.toInt, 8))
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup on a small corpus so N and 4N measure steady state
@@ -17,9 +18,9 @@ object BenchOne {
     Pipeline.run(spark, Synth.readImages(spark, warmupDir), s"$workDir/warm").count()
     val images = Synth.readImages(spark, corpusDir)
     val n = images.count()
-    // two timed runs, keep the best: the sandbox shares hardware with
+    // repeated timed runs, keep the best: the sandbox shares hardware with
     // noisy neighbors (host loadavg >10 while this container idles)
-    val sec = (1 to 2).map { i =>
+    val sec = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       Pipeline.run(spark, images, s"$workDir/work$i").count()
       (System.nanoTime() - t0) / 1e9

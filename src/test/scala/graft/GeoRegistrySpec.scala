@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.Geo
+import graft.groups.GroupRegistry
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("point-in-polygon: squares and concave shapes") {
+    val square = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0)
+    assert(Geo.pointInPolygon(5, 5, square))
+    assert(!Geo.pointInPolygon(15, 5, square))
+    assert(!Geo.pointInPolygon(-1, -1, square))
+    // concave L-shape: notch at top-right
+    val ell = Array(0.0, 0.0, 10.0, 0.0, 10.0, 5.0, 5.0, 5.0, 5.0, 10.0, 0.0, 10.0)
+    assert(Geo.pointInPolygon(2, 8, ell))
+    assert(!Geo.pointInPolygon(8, 8, ell))
+  }
+
+  test("country broadcast join tags points (P17)") {
+    import spark.implicits._
+    val countries = Seq(
+      ("alpha", Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0)),
+      ("beta", Seq(20.0, 0.0, 30.0, 0.0, 30.0, 10.0, 20.0, 10.0)))
+      .toDF("country", "poly")
+    val points = Seq((1L, 5.0, 5.0), (2L, 25.0, 5.0), (3L, 50.0, 50.0))
+      .toDF("id", "lon", "lat")
+    val tagged = Geo.withCountry(points, countries, "lon", "lat")
+      .select("id", "country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tagged(1L) == "alpha")
+    assert(tagged(2L) == "beta")
+    assert(tagged(3L) == null)
+  }
+
+  test("solar position sanity (P18)") {
+    // 2000-03-20 12:00 UTC ≈ equinox: sun nearly overhead at (0°E, 0°N)
+    val epoch = java.time.Instant.parse("2000-03-20T12:00:00Z").getEpochSecond
+    val p = Geo.sunPosition(0.0, 0.0, epoch)
+    assert(p.altitude > 80, s"equinox noon altitude ${p.altitude}")
+    // northern midsummer noon at 50°N: altitude ≈ 90 - 50 + 23.4 ≈ 63°
+    val solstice = java.time.Instant.parse("2000-06-21T12:00:00Z").getEpochSecond
+    val p2 = Geo.sunPosition(0.0, 50.0, solstice)
+    assert(math.abs(p2.altitude - 63.4) < 2, s"solstice altitude ${p2.altitude}")
+    // sun roughly south at local noon in the northern hemisphere
+    assert(math.abs(p2.azimuth - 180) < 10, s"solstice azimuth ${p2.azimuth}")
+    // midnight: below horizon
+    val night = Geo.sunPosition(0.0, 50.0, solstice + 43200)
+    assert(night.altitude < 0)
+  }
+
+  test("dms to decimal (P15)") {
+    assert(math.abs(Geo.dmsToDecimal(156, 40, 30, "W") - (-156.675)) < 1e-9)
+    assert(math.abs(Geo.dmsToDecimal(20, 56, 0, "N") - 20.9333333333) < 1e-6)
+  }
+
+  test("group registry: deterministic mint + cross-run reuse (S11/J7)") {
+    import spark.implicits._
+    val assembled = Seq(
+      (10L, 1L, 111L, 0L, 0L, 0L), (10L, 2L, 222L, 0L, 0L, 0L),
+      (20L, 3L, 333L, 0L, 0L, 0L), (20L, 4L, 444L, 0L, 0L, 0L))
+      .toDF("comp", "ord", "h0", "h1", "h2", "h3")
+    val emptyReg = Seq.empty[(Long, Long, Long, Long, String)]
+      .toDF("h0", "h1", "h2", "h3", "group_uuid")
+    val first = GroupRegistry.assign(assembled, emptyReg).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first.size == 2 && first(10L) != first(20L))
+    // second run: one member of group 10 re-appears in a re-shaped group —
+    // the registered uuid must be reused
+    val reg = GroupRegistry.registryRows(assembled,
+      GroupRegistry.assign(assembled, emptyReg))
+    val assembled2 = Seq(
+      (77L, 9L, 111L, 0L, 0L, 0L), (77L, 8L, 999L, 0L, 0L, 0L))
+      .toDF("comp", "ord", "h0", "h1", "h2", "h3")
+    val second = GroupRegistry.assign(assembled2, reg).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(second(77L) == first(10L), "registered uuid must be reused")
+    // determinism: re-running the mint yields identical uuids
+    val again = GroupRegistry.assign(assembled, emptyReg).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+}
