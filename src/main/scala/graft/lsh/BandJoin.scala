@@ -160,7 +160,9 @@ object BandJoin {
       .select(col("ord"),
         col("v").getItem(0).as("h0"), col("v").getItem(1).as("h1"),
         col("v").getItem(2).as("h2"), col("v").getItem(3).as("h3"))
-    vars.join(hubs, Seq("h0", "h1", "h2", "h3"))
+    // both sides scale with N (hubs ≈ distinct hashes) — never broadcast;
+    // sort-merge degrades gracefully on the skewed identical-hash keys
+    vars.hint("shuffle_merge").join(hubs, Seq("h0", "h1", "h2", "h3"))
       .where(col("ord") =!= col("hub"))
       .select(least(col("ord"), col("hub")).as("a"),
         greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))

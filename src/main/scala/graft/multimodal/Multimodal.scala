@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import graft.kernel.{ImageCodec, Pdq}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata for an opaque media blob. */
+final case class MediaRow(
+    media_id: String,
+    kind: String,           // image | audio | video
+    bytes: Array[Byte],
+    fmt: String,            // png/jpg | wav-stub | mp4-stub
+    meta_w: Int, meta_h: Int,
+    meta_sample_rate: Int,  // audio
+    meta_duration_ms: Long)
+
+final case class MediaFeatures(
+    media_id: String,
+    kind: String,
+    ok: Boolean,
+    feature: Array[Float],  // fixed-width embedding-ish feature vector
+    frames_sampled: Int,
+    decode_note: String)
+
+/**
+ * Multimodal columns for a training-data pipeline: media as opaque
+ * `binary` with typed metadata columns, processed by per-partition batch
+ * kernels (the Scala analog of `mapInPandas` batches — one JVM-side
+ * iterator pass, codecs initialized once per partition).
+ *
+ * Image decode/resize/feature-extract is REAL (ImageIO + the PDQ
+ * pipeline's box resampler). Audio decode and video frame-sampling are
+ * STUBS — the codecs aren't in this container — implemented as
+ * deterministic byte-derived fakes behind the same batch interface, so
+ * the Spark-side plumbing (schema, partitioning, batch shape, null
+ * behavior) is real and tested while the codec call is one function to
+ * swap.
+ */
+object Multimodal {
+  final val FeatureDim = 32
+
+  /** Image: decode, area-resize to 16×16 luma, normalized float feature. */
+  def imageFeature(bytes: Array[Byte], fmt: String, w: Int, h: Int): Option[Array[Float]] =
+    ImageCodec.decode(bytes, fmt, w, h).map { d =>
+      val small = Pdq.boxResize(d.luma601, d.w, d.h, 8, 4) // 32 values
+      small.map(_ / 255.0f)
+    }
+
+  /** STUB audio decode: deterministic pseudo-PCM from the bytes (stands in
+    * for a real WAV/FLAC decoder; signature and batch shape are real). */
+  def audioFeatureStub(bytes: Array[Byte], sampleRate: Int): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % FeatureDim) += (bytes(i) / 128.0f) / math.max(bytes.length / FeatureDim, 1)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB video frame-sample: pretends to sample one frame per second of
+    * metadata duration, features derived from byte windows. */
+  def videoFramesStub(bytes: Array[Byte], durationMs: Long): (Array[Float], Int) = {
+    val frames = math.max((durationMs / 1000).toInt, 1)
+    val feat = new Array[Float](FeatureDim)
+    var f = 0
+    while (f < math.min(frames, 16)) {
+      val off = (bytes.length.toLong * f / math.max(frames, 1)).toInt
+      var i = 0
+      while (i < FeatureDim && off + i < bytes.length) {
+        feat(i) += bytes(off + i) / 128.0f / math.min(frames, 16)
+        i += 1
+      }
+      f += 1
+    }
+    (feat, frames)
+  }
+
+  /** The batch kernel: one pass per partition, per-kind dispatch. */
+  def features(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        m.kind match {
+          case "image" =>
+            imageFeature(m.bytes, m.fmt, m.meta_w, m.meta_h) match {
+              case Some(f) => MediaFeatures(m.media_id, m.kind, ok = true, f, 1, "imageio")
+              case None => MediaFeatures(m.media_id, m.kind, ok = false,
+                Array.empty, 0, s"decode-failed:${m.fmt}")
+            }
+          case "audio" =>
+            MediaFeatures(m.media_id, m.kind, ok = true,
+              audioFeatureStub(m.bytes, m.meta_sample_rate), 1, "stub-pcm")
+          case "video" =>
+            val (f, n) = videoFramesStub(m.bytes, m.meta_duration_ms)
+            MediaFeatures(m.media_id, m.kind, ok = true, f, n, "stub-frames")
+          case other =>
+            MediaFeatures(m.media_id, m.kind, ok = false, Array.empty, 0,
+              s"unknown-kind:$other")
+        }
+      }
+    }
+  }
+
+  /** Brute-force cosine near-dup over the feature column — shares the
+    * shape of the embedding ANN queries (zip_with dot product). */
+  def cosinePairs(feats: DataFrame, minCos: Double): DataFrame = {
+    val a = feats.where(col("ok"))
+      .select(col("media_id").as("a"), col("feature").as("fa"))
+    val b = feats.where(col("ok"))
+      .select(col("media_id").as("b"), col("feature").as("fb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("dot", aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("na", aggregate(transform(col("fa"), x => x * x),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("nb", aggregate(transform(col("fb"), x => x * x),
+        lit(0.0), (acc, v) => acc + v))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") >= col("na") * col("nb") * (minCos * minCos))
+      .select("a", "b", "dot")
+  }
+}
