@@ -59,9 +59,12 @@ object Pipeline {
       .dropDuplicates("image_id")
       .withColumn("ord", monotonically_increasing_id())
 
-  /** Full run. Returns the per-member groups frame. */
+  /** Full run. Returns the per-member groups frame. When `registryPath`
+    * is set, groups get cross-run-stable UUIDs (S11/J7 semantics) and the
+    * registry table is merged back. */
   def run(spark: SparkSession, images: DataFrame, workDir: String,
-          threshold: Int = DefaultThreshold): DataFrame = {
+          threshold: Int = DefaultThreshold,
+          registryPath: Option[String] = None): DataFrame = {
     val ckpt = new Ckpt(spark, workDir)
 
     val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
@@ -73,7 +76,26 @@ object Pipeline {
     val (comps, _) = ckpt.stage("components")(
       ConnectedComponents.run(spark, edges))
 
-    val (grouped, _) = ckpt.stage("groups")(Groups.assemble(sig, comps))
+    val (grouped, _) = ckpt.stage("groups")(registryPath match {
+      case None => Groups.assemble(sig, comps)
+      case Some(regPath) =>
+        val assembled = Groups.assemble(sig, comps)
+        val registry =
+          try spark.read.parquet(regPath)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              import spark.implicits._
+              Seq.empty[(Long, Long, Long, Long, String)]
+                .toDF("h0", "h1", "h2", "h3", "group_uuid")
+          }
+        // materialize the assignment before merging: merge overwrites the
+        // registry files the lazy plan would otherwise still need to read
+        val assigned = graft.groups.GroupRegistry.assign(assembled, registry)
+          .localCheckpoint()
+        graft.groups.GroupRegistry.merge(spark, regPath,
+          graft.groups.GroupRegistry.registryRows(assembled, assigned))
+        assembled.join(assigned, Seq("comp"), "left")
+    })
     ckpt.flush()
     grouped
   }

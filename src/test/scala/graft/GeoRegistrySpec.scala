@@ -81,4 +81,19 @@ class GeoRegistrySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == first)
   }
+
+  test("pipeline with registryPath: uuids stable across reruns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-pipe").toString
+    val rows = (0L until 20L).flatMap(graft.synth.Synth.rowsForBase)
+      .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+    val images = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val g1 = Pipeline.run(spark, images, s"$dir/w1", registryPath = Some(s"$dir/registry"))
+      .select("image_id", "group_uuid").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val g2 = Pipeline.run(spark, images, s"$dir/w2", registryPath = Some(s"$dir/registry"))
+      .select("image_id", "group_uuid").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(g1.nonEmpty && g1 == g2, "group uuids must be stable across runs")
+  }
 }
