@@ -376,6 +376,20 @@ object Synth {
     DecodedImage(nw, nh, out)
   }
 
+  /** Remove a fractional border (the crop5 stress class — borderline for
+    * PDQ, excluded from the recall denominator, FIXTURES.md §2). */
+  def cropBorder(d: DecodedImage, frac: Double): DecodedImage = {
+    val dx = (d.w * frac).toInt; val dy = (d.h * frac).toInt
+    val nw = d.w - 2 * dx; val nh = d.h - 2 * dy
+    val out = new Array[Int](nw * nh)
+    var y = 0
+    while (y < nh) {
+      System.arraycopy(d.argb, (y + dy) * d.w + dx, out, y * nw, nw)
+      y += 1
+    }
+    DecodedImage(nw, nh, out)
+  }
+
   def grayRawBytes(d: DecodedImage): Array[Byte] = {
     val out = new Array[Byte](d.w * d.h)
     var i = 0
@@ -441,8 +455,11 @@ object Synth {
       val all = Vector("exact", "recompress", "resize", "rot90", "rot180",
         "rot270", "fliph", "flipv", "gray-raw")
       val n = 1 + r.nextInt(4)
-      val chosen = r.ints(0, all.size).distinct().limit(n).toArray.toSeq.map(all)
+      val chosen0 = r.ints(0, all.size).distinct().limit(n).toArray.toSeq.map(all)
         .map(v => if (v == "resize" && isBoard) "recompress" else v).distinct
+      // ~12% of bases also get a crop5 stress variant (may legitimately
+      // miss at threshold 40; never counted in the recall denominator)
+      val chosen = if (r.nextInt(100) < 12) chosen0 :+ "crop5" else chosen0
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -454,6 +471,8 @@ object Synth {
         case "rot270" => encRow(id("rot270"), rotate270(img), "png", cap, baseId, "rot270")
         case "fliph" => encRow(id("fliph"), flipH(img), "png", captionEdited(baseId, 2), baseId, "fliph")
         case "flipv" => encRow(id("flipv"), flipV(img), "png", cap, baseId, "flipv")
+        case "crop5" => encRow(id("crop5"), cropBorder(img, 0.05), "jpg90",
+          cap, baseId, "crop5")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")

@@ -101,6 +101,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.99, f"truth recall $recall%.4f < 0.99")
   }
 
+  test("crop5 stress class reported separately (FIXTURES.md §2)") {
+    val cropIds = rows.filter(_.variant == "crop5").map(_.image_id).toSet
+    assume(cropIds.nonEmpty)
+    val origOf = cropIds.map(id => id -> id.replace("-crop5", "-orig")).toMap
+    val pipe = pipelinePairs
+    val hits = cropIds.count { c =>
+      val o = origOf(c)
+      pipe.contains(if (c < o) (c, o) else (o, c))
+    }
+    info(s"crop5 matched $hits/${cropIds.size} (borderline class, no gate)")
+  }
+
   test("unrelated images and caption-dups never group (precision guard)") {
     val solos = rows.filter(r => r.variant == "unrelated").map(_.image_id).toSet
     val pipe = pipelinePairs
