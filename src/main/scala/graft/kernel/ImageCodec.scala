@@ -73,8 +73,45 @@ object ImageCodec {
 
   def fromBuffered(img: BufferedImage): DecodedImage = {
     val w = img.getWidth; val h = img.getHeight
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
-    DecodedImage(w, h, argb)
+    // fast paths: read the backing raster directly — getRGB goes through a
+    // per-pixel ColorModel conversion that costs ~25% of decode time
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR =>
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val argb = new Array[Int](w * h)
+        var i = 0
+        while (i < argb.length) {
+          val b = data(3 * i) & 0xff
+          val g = data(3 * i + 1) & 0xff
+          val r = data(3 * i + 2) & 0xff
+          argb(i) = 0xff000000 | (r << 16) | (g << 8) | b
+          i += 1
+        }
+        DecodedImage(w, h, argb)
+      case BufferedImage.TYPE_BYTE_GRAY =>
+        // raw gray values, not getRGB's GRAY→sRGB colorspace remap — the
+        // raw plane is what the luma pipeline wants (pdqhash.rs:280)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val argb = new Array[Int](w * h)
+        var i = 0
+        while (i < argb.length) {
+          val v = data(i) & 0xff
+          argb(i) = 0xff000000 | (v << 16) | (v << 8) | v
+          i += 1
+        }
+        DecodedImage(w, h, argb)
+      case BufferedImage.TYPE_INT_RGB =>
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val argb = new Array[Int](w * h)
+        var i = 0
+        while (i < argb.length) { argb(i) = 0xff000000 | data(i); i += 1 }
+        DecodedImage(w, h, argb)
+      case _ =>
+        DecodedImage(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }
   }
 
   def toBuffered(d: DecodedImage): BufferedImage = {
