@@ -26,6 +26,8 @@ object SparkEntry {
     "q_prune_anti_join" -> (RQ.qPruneAntiJoin _),
     "q_cache_join" -> (RQ.qCacheJoin _),
     "q_registry_reuse" -> (RQ.qRegistryReuse _),
+    "q_stem_merge" -> (RQ.qStemMerge _),
+    "q_greedy_groups" -> (RQ.qGreedyGroups _),
     "q_window_dup_counts" -> (RQ.qWindowDupCounts _),
     "q_top_per_key" -> (RQ.qTopPerKey _),
     "q_group_order_rank" -> (RQ.qGroupOrderRank _),
@@ -49,7 +51,9 @@ object SparkEntry {
     "q_exact_dedup_docs" -> (TQ.qExactDedupDocs _),
     "q_ann_topk" -> (TQ.qAnnTopK _),
     "q_ann_lsh_buckets" -> (TQ.qAnnLshBuckets _),
+    "q_ann_ivf" -> (TQ.qAnnIvf _),
     "q_embed_near_dup" -> (TQ.qEmbedNearDup _),
+    "q_substring_dup" -> (TQ.qSubstringDup _),
     // the image pipeline itself (rows-only; oracle = PipelineSpec)
     "q_img_signatures" -> (IQ.qImgSignatures _),
     "q_img_band_keys" -> (IQ.qImgBandKeys _),
@@ -79,6 +83,8 @@ object SparkEntry {
     "q_prune_anti_join" -> RQ.sqlPruneAntiJoin(d),
     "q_cache_join" -> RQ.sqlCacheJoin(d),
     "q_registry_reuse" -> RQ.sqlRegistryReuse(d),
+    "q_stem_merge" -> RQ.sqlStemMerge(d),
+    "q_greedy_groups" -> RQ.sqlGreedyGroups(d),
     "q_window_dup_counts" -> RQ.sqlWindowDupCounts(d),
     "q_top_per_key" -> RQ.sqlTopPerKey(d),
     "q_group_order_rank" -> RQ.sqlGroupOrderRank(d),
@@ -100,6 +106,8 @@ object SparkEntry {
     "q_exact_dedup_docs" -> TQ.sqlExactDedupDocs(d),
     "q_ann_topk" -> TQ.sqlAnnTopK(d),
     "q_ann_lsh_buckets" -> TQ.sqlAnnLshBuckets(d),
-    "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d)
+    "q_ann_ivf" -> TQ.sqlAnnIvf(d),
+    "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d),
+    "q_substring_dup" -> TQ.sqlSubstringDup(d)
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.cc.ConnectedComponents
+import graft.cc.{ConnectedComponents, GreedyGrouping}
 import graft.functions.SearchQuery
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -165,6 +165,68 @@ object RelationalQueries {
        SELECT comp::BIGINT AS comp, count(*)::BIGINT AS n,
          min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
        FROM comps GROUP BY comp HAVING count(*) > 1 ORDER BY comp"""
+
+  // =========================================================================
+  // J8 — stem merge: rows sharing a stem key force their groups merged
+  // (scanner.rs:1905-1983: files sharing (parent dir, stem) join one group).
+  // Extra star edges per stem (hub = min id) are unioned with the verified
+  // band edges before CC — same shape as the reference's post-grouping merge.
+  // =========================================================================
+  def qStemMerge(spark: SparkSession, dir: String): DataFrame = {
+    val edges = qBandJoinPairs(spark, dir).select("a", "b")
+    val stems = plantedHashes(spark, dir)
+      .select(col("id"), floor(col("id") / 32).as("stem"))
+    val hubs = stems.groupBy("stem").agg(min("id").as("hub"))
+    val stemEdges = stems.join(hubs, "stem")
+      .where(col("id") =!= col("hub"))
+      .select(col("hub").as("a"), col("id").as("b"))
+    ConnectedComponents.run(spark, edges.unionByName(stemEdges))
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+      .orderBy("id")
+  }
+  def sqlStemMerge(dir: String): String =
+    s"""WITH RECURSIVE ${sqlEdgesCte(dir)},
+       ids AS (SELECT event_id::BIGINT AS id FROM events WHERE event_id < $MaxPlantedId),
+       stems AS (SELECT id, id // 32 AS stem FROM ids),
+       hubs AS (SELECT stem, min(id) AS hub FROM stems GROUP BY stem),
+       stem_edges AS (SELECT h.hub AS a, s.id AS b
+         FROM stems s JOIN hubs h ON s.stem = h.stem WHERE s.id <> h.hub),
+       all_edges AS (SELECT a, b FROM edges UNION SELECT a, b FROM stem_edges),
+       sym AS (SELECT a AS s, b AS d FROM all_edges UNION ALL SELECT b, a FROM all_edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n)
+       SELECT n::BIGINT AS id, min(c)::BIGINT AS comp FROM walk GROUP BY n ORDER BY id"""
+
+  // =========================================================================
+  // A3 — greedy seed+neighbors grouping (hamminghash.rs:191-271): the MIH
+  // library's single-pass alternative to union-find. Run on structured
+  // input (even clusters = 16-cliques, odd clusters = 16-paths) whose
+  // greedy grouping has a closed form: cliques collapse onto the min
+  // member; paths pair up (seed at even offset grabs its right neighbor).
+  // =========================================================================
+  private val MaxGreedyId = 2000
+  def qGreedyGroups(spark: SparkSession, dir: String): DataFrame = {
+    val ids = rd(spark, dir, "events").where(col("event_id") < MaxGreedyId)
+      .select(col("event_id").cast("long").as("id"))
+    val a = ids.select(col("id").as("a"), floor(col("id") / 16).as("cl"))
+    val b = ids.select(col("id").as("b"), floor(col("id") / 16).as("cl"))
+    val cliqueEdges = a.join(b, "cl")
+      .where(col("a") < col("b") && col("cl") % 2 === 0)
+      .select("a", "b")
+    val pathEdges = ids
+      .where(col("id") % 16 < 15 && floor(col("id") / 16) % 2 === 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    GreedyGrouping.run(spark, cliqueEdges.unionByName(pathEdges))
+      .select(col("id").cast("long").as("id"), col("grp").cast("long").as("grp"))
+      .orderBy("id")
+  }
+  def sqlGreedyGroups(dir: String): String =
+    s"""SELECT event_id::BIGINT AS id,
+       (CASE WHEN (event_id // 16) % 2 = 0 THEN (event_id // 16) * 16
+             ELSE event_id - (event_id % 16) % 2 END)::BIGINT AS grp
+       FROM events WHERE event_id < $MaxGreedyId ORDER BY id"""
 
   // =========================================================================
   // A4/A7 — group status: AllIdentical / SomeIdentical / None from

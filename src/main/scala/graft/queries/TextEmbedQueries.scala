@@ -367,6 +367,130 @@ object TextEmbedQueries {
        FROM proj GROUP BY vec_id ORDER BY vec_id"""
 
   // =========================================================================
+  // ANN scale path #2: IVF (inverted-file) — assign every vector to its
+  // nearest of K coarse centroids, queries probe the nprobe best centroid
+  // lists and brute-force only within them. Deterministic for the oracle:
+  // centroids are the first K vectors by id (a production run would draw
+  // them by k-means; the partition/probe plumbing is identical), distance
+  // is the exact integer-quantized dot product, ties break on centroid id.
+  // =========================================================================
+  private val IvfK = 8        // coarse centroids
+  private val IvfProbe = 2    // centroid lists probed per query
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val cent = all.where(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("i"), col("q").as("cq"))
+    // coarse assignment: every non-centroid vector → argmax dot(v, c).
+    // at scale `cent` is a broadcast (K rows) and this is one map-side pass
+    val dots = all.where(col("vec_id") >= IvfK).join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q") * col("cq")).as("dot"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("cid").asc)
+    val assign = dots.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1).select(col("vec_id").as("nb"), col("cid"))
+    // queries probe their nprobe closest centroid lists
+    val probes = dots.where(col("vec_id") >= 20 && col("vec_id") < 30)
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cands = probes.join(assign, "cid")
+      .where(col("qid") =!= col("nb")).select("qid", "nb").distinct()
+    val qv = all.select(col("vec_id").as("qid"), col("i"), col("q").as("qq"))
+    val nv = all.select(col("vec_id").as("nb"), col("i"), col("q").as("nq"))
+    val scored = cands.join(qv, "qid").join(nv, Seq("nb", "i"))
+      .groupBy("qid", "nb")
+      .agg(sum(col("qq") * col("nq")).cast("long").as("score"))
+    val wRank = Window.partitionBy("qid").orderBy(col("score").desc, col("nb").asc)
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nb"), col("score"))
+      .orderBy("qid", "rank")
+  }
+  def sqlAnnIvf(dir: String): String =
+    s"""WITH qq AS (SELECT vec_id::BIGINT AS vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         floor(unnest(embedding) * 1000 + 0.5)::BIGINT AS q
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cid, i, q AS cq FROM qq WHERE vec_id < $IvfK),
+       dots AS (SELECT v.vec_id, c.cid, sum(v.q * c.cq) AS dot
+         FROM qq v JOIN cent c ON v.i = c.i WHERE v.vec_id >= $IvfK
+         GROUP BY v.vec_id, c.cid),
+       assign AS (SELECT vec_id AS nb, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+           FROM dots) t WHERE rn = 1),
+       probes AS (SELECT vec_id AS qid, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+           FROM dots WHERE vec_id >= 20 AND vec_id < 30) t WHERE rn <= $IvfProbe),
+       cands AS (SELECT DISTINCT p.qid, a.nb
+         FROM probes p JOIN assign a ON a.cid = p.cid WHERE a.nb <> p.qid),
+       scored AS (SELECT cand.qid, cand.nb, sum(x.q * y.q)::BIGINT AS score
+         FROM cands cand JOIN qq x ON x.vec_id = cand.qid
+         JOIN qq y ON y.vec_id = cand.nb AND y.i = x.i
+         GROUP BY cand.qid, cand.nb),
+       ranked AS (SELECT qid, nb, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nb ASC)::BIGINT AS rank
+         FROM scored)
+       SELECT qid, rank, nb, score FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  // =========================================================================
+  // Substring-span dedup (the suffix-array-substring family, Lee et al.
+  // 2022 "Deduplicating Training Data Makes Language Models Better"):
+  // fingerprint fixed-length windows at a stride, keep windows whose
+  // fingerprint occurs in >1 distinct document, merge adjacent surviving
+  // windows per doc into maximal duplicated spans. The window+group-by
+  // re-expresses the suffix-array scan as shuffle-friendly relational ops.
+  // =========================================================================
+  private val SpanLen = 32
+  private val SpanStride = 16
+  def qSubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = rd(spark, dir, "documents")
+      .where(length(col("text")) >= SpanLen)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride)))
+          .as("pos"), col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(expr(s"substring(text, pos, $SpanLen)")).as("h"))
+    val dupKeys = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
+      .select("h")
+    val dupw = wins.join(dupKeys, "h").select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupw
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wDoc) <= SpanStride, 0L).otherwise(1L))
+      .withColumn("island", sum("brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (SpanLen - 1)).as("span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+  def sqlSubstringDup(dir: String): String =
+    s"""WITH wins AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+         md5(substr(text, i::INT, $SpanLen)) AS h
+         FROM documents, range(1, 4001, $SpanStride) r(i)
+         WHERE len(text) >= $SpanLen AND i <= len(text) - ${SpanLen - 1}),
+       dup_keys AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       dupw AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup_keys)),
+       marked AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanStride
+                THEN 0 ELSE 1 END AS brk
+         FROM dupw),
+       islands AS (SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM marked)
+       SELECT doc_id, min(pos)::BIGINT AS span_start,
+         (max(pos) + ${SpanLen - 1})::BIGINT AS span_end,
+         count(*)::BIGINT AS n_windows
+       FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+
+  // =========================================================================
   // Embedding near-dup pairs: exact integer cosine² threshold within buckets
   // =========================================================================
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
