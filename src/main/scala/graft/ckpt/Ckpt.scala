@@ -28,6 +28,8 @@ final class Ckpt(spark: SparkSession, workDir: String) {
     scala.collection.mutable.ArrayBuffer[(String, Long, Long, String)]()
   private val pendingMetrics =
     scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
+  private val pendingPartLineage =
+    scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
 
   /** Run `compute` unless `stage` is already committed; always returns the
     * materialized frame (reads back from parquet so downstream plans start
@@ -42,8 +44,15 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path(stageName))
       val out = spark.read.parquet(path(stageName))
-      // parquet metadata-only count — no data scan
-      appendLineage(stageName, out.count(), (System.nanoTime() - t0) / 1000000)
+      // per-partition lineage in ONE zero-column job (row-group metadata
+      // scan): partition row counts for skew/resume audit, summed for the
+      // stage total — the per-partition replacement for the reference's
+      // per-file last_seen rows (db.rs:909-911)
+      val parts = out.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("rows")).collect()
+      parts.foreach(r => pendingPartLineage += ((stageName, r.getInt(0), r.getLong(1))))
+      appendLineage(stageName, parts.map(_.getLong(1)).sum,
+        (System.nanoTime() - t0) / 1000000)
       (out, false)
     }
   }
@@ -67,8 +76,16 @@ final class Ckpt(spark: SparkSession, workDir: String) {
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
       pendingMetrics.clear()
     }
+    if (pendingPartLineage.nonEmpty) {
+      pendingPartLineage.toSeq.toDF("stage", "partition_id", "rows")
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(s"$workDir/_lineage_partitions")
+      pendingPartLineage.clear()
+    }
   }
 
   def lineage: DataFrame = spark.read.parquet(s"$workDir/_lineage")
   def metrics: DataFrame = spark.read.parquet(s"$workDir/_metrics")
+  def partitionLineage: DataFrame =
+    spark.read.parquet(s"$workDir/_lineage_partitions")
 }

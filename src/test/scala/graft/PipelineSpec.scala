@@ -159,5 +159,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(g2.count() >= 0)
     val lineage2 = spark.read.parquet(s"$dir/work/_lineage").count()
     assert(lineage1 == lineage2, "second run recomputed a committed stage")
+    // per-partition lineage: partition row counts must sum to stage totals
+    val perStage = spark.read.parquet(s"$dir/work/_lineage_partitions")
+      .groupBy("stage").sum("rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$dir/work/_lineage")
+      .select("stage", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStage.nonEmpty, "no per-partition lineage rows")
+    perStage.foreach { case (st, n) =>
+      assert(totals(st) == n, s"stage $st: partition sum $n != total ${totals(st)}")
+    }
   }
 }
