@@ -68,7 +68,15 @@ object Pipeline {
     val ckpt = new Ckpt(spark, workDir)
 
     val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
-    if (!sigHit) ckpt.appendMetric("images", sig.count().toDouble)
+    if (!sigHit) {
+      // one job, two metrics: total rows + rows that fell back to
+      // exact-only matching (decode failure or sub-5px, F1)
+      val r = sig.agg(count(lit(1)),
+        sum(when(!col("has_pdq"), 1L).otherwise(0L))).head()
+      ckpt.appendMetric("images", r.getLong(0).toDouble)
+      ckpt.appendMetric("decode_failures",
+        if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
+    }
 
     val (edges, edgesHit) = ckpt.stage("edges")(BandJoin.edges(sig, threshold))
     if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)

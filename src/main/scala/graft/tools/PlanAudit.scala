@@ -3,14 +3,23 @@ package graft.tools
 import graft.Pipeline
 import graft.lsh.BandJoin
 import graft.synth.Synth
+import org.apache.hadoop.fs.Path
 
 /** Print the physical plans of the pipeline stages for audit: column
-  * pruning into the parquet scans, join strategies, codegen coverage. */
+  * pruning into the parquet scans, join strategies, codegen coverage.
+  * Self-sufficient: synthesizes a tiny corpus + signature checkpoint
+  * when none is supplied (plans depend on schema, not data volume). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val corpus = args.headOption.getOrElse("/root/repo/target/bench-corpus-6000")
+    val corpus = args.headOption.getOrElse("/root/repo/target/plan-audit-corpus")
     val spark = Pipeline.session("local[4]")
     spark.sparkContext.setLogLevel("WARN")
+    val fs = new Path(corpus).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$corpus/images/_SUCCESS")))
+      Synth.generate(spark, 60, corpus)
+    if (!fs.exists(new Path(s"$corpus-sig/_SUCCESS")))
+      Pipeline.signatures(spark, Synth.readImages(spark, corpus))
+        .write.mode("overwrite").parquet(s"$corpus-sig")
     val sig = spark.read.parquet(s"$corpus-sig")
 
     println("########## signatures (kernel) plan")
