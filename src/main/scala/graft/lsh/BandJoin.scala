@@ -91,7 +91,19 @@ object BandJoin {
    * `sig` needs: ord, h0..h3, variants, low_conf, has_pdq.
    * Returns (a, b, dist) with a < b.
    */
-  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame = {
+  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame =
+    bandMatches(sig, threshold, saltFactor)
+      .withColumn("dist", hammingCols(Seq("v0", "v1", "v2", "v3").map(col),
+        Seq("c0", "c1", "c2", "c3").map(col)))
+      .where(col("dist") <= threshold)
+      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
+        greatest(col("q_ord"), col("c_ord")).as("b"))
+      .agg(min("dist").as("dist"))
+
+  /** The raw band-collision rows (post-join, pre-verify) — exposed for
+    * diagnostics (tools/JoinProbe) and the verify step above. */
+  private[graft] def bandMatches(sig: DataFrame, threshold: Int,
+                                 saltFactor: Int = 1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
     val tol = threshold / NumChunks
@@ -123,8 +135,6 @@ object BandJoin {
     val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
       else prb0.withColumn("salt", explode(lit((0 until saltFactor).toArray)))
 
-    val vh = Seq("v0", "v1", "v2", "v3").map(col)
-    val ch = Seq("c0", "c1", "c2", "c3").map(col)
     // Symmetric probing (vs the reference's scan-order-dependent i<j,
     // scanner.rs:1714-1717): a pair is an edge when EITHER side's dihedral
     // variants match the other's stored hash — deterministic under any
@@ -136,11 +146,6 @@ object BandJoin {
     // partitioned hash join needs no sort and scales with executors.
     prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val", "salt"))
       .where(col("q_ord") =!= col("c_ord"))
-      .withColumn("dist", hammingCols(vh, ch))
-      .where(col("dist") <= threshold)
-      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
-        greatest(col("q_ord"), col("c_ord")).as("b"))
-      .agg(min("dist").as("dist"))
   }
 
   /**

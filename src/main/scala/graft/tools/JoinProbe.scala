@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.Pipeline
+import graft.lsh.BandJoin
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostics for the band-join shuffle: raw collision volume vs
+  * exploded index volume on a real signatures checkpoint — the numbers
+  * that decide between wide-index (verify-in-join) and thin-index
+  * (deferred verify) designs. */
+object JoinProbe {
+  def main(args: Array[String]): Unit = {
+    val sigPath = args(0)
+    val threshold = if (args.length > 1) args(1).toInt else 40
+    val spark = Pipeline.session("local[16]", 16)
+    spark.sparkContext.setLogLevel("WARN")
+    val sig = spark.read.parquet(sigPath)
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    val n = conf.count()
+
+    // replicate fuzzyEdges' exploded sides at the chosen radius split
+    val tol = threshold / BandJoin.NumChunks
+    val rIdx = (0 to tol).minBy(r =>
+      BandJoin.masks(r).length + 8 * BandJoin.masks(tol - r).length)
+    val rPrb = tol - rIdx
+    val idxRows = n * BandJoin.NumChunks * BandJoin.masks(rIdx).length
+    val prbRows = n * 8L * BandJoin.NumChunks * BandJoin.masks(rPrb).length
+
+    val distinctHash = conf.select("h0", "h1", "h2", "h3").distinct().count()
+    println(s"JOINPROBE n=$n distinctHash=$distinctHash " +
+      s"idxRows=$idxRows prbRows=$prbRows rIdx=$rIdx rPrb=$rPrb")
+
+    // probe-side bucket sizes (exact chunk values of the 8 variants): the
+    // product with index ball membership approximates collision volume
+    val prb = conf.select(explode(col("variants")).as("v"))
+      .select((0 until 16).map(k =>
+        shiftrightunsigned(col("v").getItem(k / 4), (k % 4) * 16)
+          .bitwiseAND(lit(0xffffL)).cast("int").as(s"c$k")): _*)
+    val stacked = prb.select(posexplode(array((0 until 16).map(k => col(s"c$k")): _*))
+      .as(Seq("band_idx", "band_val")))
+    val hot = stacked.groupBy("band_idx", "band_val").count()
+      .orderBy(desc("count")).limit(20).collect()
+    hot.foreach(r => println(s"HOT idx=${r.getInt(0)} val=${r.getInt(1)} n=${r.getLong(2)}"))
+    val top = stacked.groupBy("band_idx", "band_val").count()
+      .agg(sum(when(col("count") > 1000, col("count"))).as("in_hot"),
+        sum("count").as("total")).head()
+    println(s"PROBE rows in buckets>1000: ${top.get(0)} of ${top.get(1)}")
+
+    val t0 = System.nanoTime()
+    val raw = BandJoin.bandMatches(sig, threshold).count()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val edges = BandJoin.fuzzyEdges(sig, threshold).count()
+    println(f"JOINPROBE rawCollisions=$raw (${t1}%.1f s) verifiedEdges=$edges")
+    spark.stop()
+  }
+}
