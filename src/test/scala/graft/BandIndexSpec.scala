@@ -1,0 +1,86 @@
+package graft
+
+import graft.kernel.{Pdq, SignatureKernel}
+import graft.lsh.BandIndex
+import graft.model.ImageRow
+import graft.synth.Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.security.MessageDigest
+
+/** Persisted range-partitioned band index: probing a delta against the
+  * corpus index must find exactly the pairs the full verification finds
+  * (reference probe semantics: query-side dihedral variants vs stored
+  * originals at the per-side low-quality limit). */
+class BandIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Threshold = Pipeline.DefaultThreshold
+
+  private lazy val sigs = {
+    val sha = MessageDigest.getInstance("SHA-256")
+    (0L until 40L).flatMap(Synth.rowsForBase).zipWithIndex.map { case (r, i) =>
+      SignatureKernel.computeOne(
+        ImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash), sha)
+        .copy(ord = i.toLong)
+    }
+  }
+  private lazy val corpus = sigs.filter(_.ord % 3 != 0)
+  private lazy val delta = sigs.filter(_.ord % 3 == 0)
+
+  test("index probe == brute-force per-side-limit verification") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$dir/index")
+    val got = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    val want = (for {
+      d <- delta if d.has_pdq
+      c <- corpus if c.has_pdq
+      limit = if (d.low_conf || c.low_conf) 0 else Threshold
+      dist = d.variants.map(v => Pdq.hammingLongs(v, Array(c.h0, c.h1, c.h2, c.h3))).min
+      if dist <= limit
+    } yield (d.ord, c.ord) -> dist).toMap
+
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"pair $k dist ${got(k)} != $v") }
+    assert(want.nonEmpty, "oracle found no cross pairs — split broken")
+  }
+
+  test("append extends the index; re-probe finds pairs in the appended part") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex2").toString
+    val (half1, half2) = corpus.splitAt(corpus.size / 2)
+    BandIndex.build(half1.toDS().toDF(), s"$dir/index")
+    val before = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), Threshold).count()
+    BandIndex.append(half2.toDS().toDF(), s"$dir/index")
+    val after = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = {
+      val d2 = java.nio.file.Files.createTempDirectory("graft-bandindex3").toString
+      BandIndex.build(corpus.toDS().toDF(), s"$d2/index")
+      BandIndex.probe(spark, s"$d2/index", delta.toDS().toDF(), Threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(after == full, "append+probe differs from fresh full index")
+    assert(after.size >= before, "appending shrank the result")
+  }
+
+  test("range layout: files carry tight band_idx min-max (pruning basis)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex4").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$dir/index", numPartitions = 8)
+    // each physical file must cover a narrow slice of the key space:
+    // read per-file min/max of band_idx via input_file_name grouping
+    val stats = spark.read.parquet(s"$dir/index")
+      .groupBy(org.apache.spark.sql.functions.input_file_name())
+      .agg(org.apache.spark.sql.functions.min("band_idx").as("lo"),
+        org.apache.spark.sql.functions.max("band_idx").as("hi"))
+      .collect()
+    assert(stats.length > 1, "expected multiple range files")
+    val avgSpan = stats.map(r => r.getInt(2) - r.getInt(1) + 1).sum.toDouble / stats.length
+    assert(avgSpan <= 4.0,
+      f"files span $avgSpan%.1f of 16 band indexes on average — not range-clustered")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.synth.Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup must produce the SAME grouping (as a partition of
+  * image_ids) as a full batch run over corpus ∪ delta. */
+class IncrementalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Threshold = Pipeline.DefaultThreshold
+
+  private lazy val rows = (0L until 40L).flatMap(Synth.rowsForBase)
+
+  private def toDF(rs: Seq[synth.SynthRow]) = {
+    import spark.implicits._
+    rs.map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+  }
+
+  private def groupsOf(df: org.apache.spark.sql.DataFrame): Set[Set[String]] =
+    df.select("comp", "image_id").collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(_.getString(1)).toSet).toSet
+
+  test("incremental delta merge == full batch run (same group partition)") {
+    // split so variant families straddle the boundary (interleaved)
+    val (corpus, delta) = rows.zipWithIndex.partition(_._2 % 3 != 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-inc").toString
+
+    Pipeline.run(spark, toDF(corpus.map(_._1)), s"$base/corpus-work", Threshold)
+    val inc = Incremental.run(spark, toDF(delta.map(_._1)),
+      s"$base/corpus-work", s"$base/delta-work", Threshold)
+
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work", Threshold)
+
+    val gotGroups = groupsOf(inc)
+    val wantGroups = groupsOf(full)
+    assert(gotGroups == wantGroups,
+      s"only-incremental=${(gotGroups -- wantGroups).take(3)} " +
+        s"only-full=${(wantGroups -- gotGroups).take(3)}")
+    assert(wantGroups.exists(g => g.size > 1), "no multi-member groups — corpus broken")
+    // at least one merged group must straddle the corpus/delta boundary,
+    // otherwise the cross probe was never exercised
+    val deltaIds = delta.map(_._1.image_id).toSet
+    assert(wantGroups.exists(g =>
+      g.exists(deltaIds) && g.exists(id => !deltaIds(id))),
+      "no group straddles the boundary — split too coarse for this test")
+  }
+
+  test("incremental resume: second run reuses committed stages, same groups") {
+    val (corpus, delta) = rows.zipWithIndex.partition(_._2 % 3 != 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-inc2").toString
+    Pipeline.run(spark, toDF(corpus.map(_._1)), s"$base/corpus-work", Threshold)
+    val first = groupsOf(Incremental.run(spark, toDF(delta.map(_._1)),
+      s"$base/corpus-work", s"$base/delta-work", Threshold))
+    val lineage1 = spark.read.parquet(s"$base/delta-work/_lineage").count()
+    val second = groupsOf(Incremental.run(spark, toDF(delta.map(_._1)),
+      s"$base/corpus-work", s"$base/delta-work", Threshold))
+    val lineage2 = spark.read.parquet(s"$base/delta-work/_lineage").count()
+    assert(first == second)
+    assert(lineage1 == lineage2, "resume recomputed a committed stage")
+    // the index must contain exactly corpus + delta keys (no double append)
+    import org.apache.spark.sql.functions._
+    val idxOrds = spark.read.parquet(s"$base/corpus-work/band_index")
+      .groupBy("ord").agg(count(lit(1)).as("n"))
+    assert(idxOrds.where(col("n") =!= 16).count() == 0,
+      "some ord has != 16 band keys — double append or truncation")
+  }
+}
