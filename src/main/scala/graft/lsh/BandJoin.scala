@@ -40,17 +40,21 @@ object BandJoin {
 
   /** XOR masks within Hamming radius r of a 16-bit value (r ∈ 0..2 used;
     * r=3 supported for threshold 48..63, scanner.rs:1755-1767). */
-  def masks(radius: Int): Array[Int] = {
-    val out = scala.collection.mutable.ArrayBuffer(0)
-    if (radius >= 1) for (i <- 0 until BitsPerChunk) out += (1 << i)
-    if (radius >= 2)
-      for (i <- 0 until BitsPerChunk; j <- i + 1 until BitsPerChunk)
-        out += (1 << i) | (1 << j)
-    if (radius >= 3)
-      for (i <- 0 until BitsPerChunk; j <- i + 1 until BitsPerChunk;
-           m <- j + 1 until BitsPerChunk)
-        out += (1 << i) | (1 << j) | (1 << m)
-    out.toArray
+  def masks(radius: Int): Array[Int] =
+    masksB(radius, BitsPerChunk).map(_.toInt)
+
+  /** XOR masks within Hamming radius r of a b-bit value: all subsets of
+    * {0..b-1} of size ≤ r as bit masks (recursive combination walk). */
+  def masksB(radius: Int, bits: Int): Array[Long] = {
+    require(bits >= 1 && bits <= 64)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rec(start: Int, left: Int, acc: Long): Unit = {
+      out += acc
+      if (left > 0)
+        for (i <- start until bits) rec(i + 1, left - 1, acc | (1L << i))
+    }
+    rec(0, radius, 0L)
+    out.distinct.toArray
   }
 
   /** All 16 chunks of (h0..h3) as an array column: chunk k = little-endian
@@ -61,6 +65,22 @@ object BandJoin {
         .bitwiseAND(lit(0xffffL)).cast("int")
     }: _*)
 
+  /** Generalized chunk extraction: 256/bits chunks of width `bits` (8, 16,
+    * 32 or 64) as longs — the MIH chunk-count knob. The reference pins 16
+    * chunks (right for n≈10⁶: E[bucket] = n/2¹⁶ ≈ 15); at corpus scale the
+    * optimal chunk count shrinks toward 256/log₂(n) (Norouzi et al., "Fast
+    * Search in Hamming Space with Multi-Index Hashing", CVPR'12), so 8×32-bit
+    * chunks keep buckets sparse at n≈10⁹⁺. See SCALING.md for the cost model. */
+  def chunksArrayB(h: Seq[Column], bits: Int): Column = {
+    require(Set(8, 16, 32, 64)(bits), s"chunk width $bits must divide 64")
+    val perLong = 64 / bits
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    array((0 until 256 / bits).map { k =>
+      shiftrightunsigned(h(k / perLong), (k % perLong) * bits)
+        .bitwiseAND(lit(mask)).cast("long")
+    }: _*)
+  }
+
   /** Σ bit_count(xor) over the 4 longs — 256-bit Hamming distance as a
     * codegen'd Catalyst expression (hamminghash.rs:55-58 semantics). */
   def hammingCols(a: Seq[Column], b: Seq[Column]): Column =
@@ -68,10 +88,12 @@ object BandJoin {
 
   /** Explode a hash-carrying frame into (band_idx, band_val) keys with
     * radius-r multi-probe masks. `hs` are the 4 hash columns to band on. */
-  private def bandKeys(df: DataFrame, hs: Seq[String], radius: Int): DataFrame = {
+  private def bandKeys(df: DataFrame, hs: Seq[String], radius: Int,
+                       chunkBits: Int): DataFrame = {
     val h = hs.map(col)
-    df.select(col("*"), posexplode(chunksArray(h)).as(Seq("band_idx", "chunk")))
-      .withColumn("mask", explode(lit(masks(radius))))
+    df.select(col("*"),
+        posexplode(chunksArrayB(h, chunkBits)).as(Seq("band_idx", "chunk")))
+      .withColumn("mask", explode(lit(masksB(radius, chunkBits))))
       .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
       .drop("chunk", "mask")
   }
@@ -91,8 +113,9 @@ object BandJoin {
    * `sig` needs: ord, h0..h3, variants, low_conf, has_pdq.
    * Returns (a, b, dist) with a < b.
    */
-  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame =
-    bandMatches(sig, threshold, saltFactor)
+  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
+                 chunkBits: Int = BitsPerChunk): DataFrame =
+    bandMatches(sig, threshold, saltFactor, chunkBits)
       .withColumn("dist", hammingCols(Seq("v0", "v1", "v2", "v3").map(col),
         Seq("c0", "c1", "c2", "c3").map(col)))
       .where(col("dist") <= threshold)
@@ -103,22 +126,28 @@ object BandJoin {
   /** The raw band-collision rows (post-join, pre-verify) — exposed for
     * diagnostics (tools/JoinProbe) and the verify step above. */
   private[graft] def bandMatches(sig: DataFrame, threshold: Int,
-                                 saltFactor: Int = 1): DataFrame = {
-    require(threshold <= 63,
-      s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
-    val tol = threshold / NumChunks
+                                 saltFactor: Int = 1,
+                                 chunkBits: Int = BitsPerChunk): DataFrame = {
+    val numChunks = 256 / chunkBits
+    if (chunkBits == BitsPerChunk)
+      require(threshold <= 63,
+        s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
+    // pigeonhole: dist ≤ t over numChunks chunks ⇒ some chunk differs in
+    // ≤ ⌊t/numChunks⌋ bits — exhaustive recall at any chunk width
+    val tol = threshold / numChunks
     // split the probe radius to minimize total exploded rows: the probe
     // side is 8× heavier (one row per dihedral variant), so weigh it 8×.
-    // tol=2 → (2,0): 137+8 rows/chunk vs (1,1): 17+136 — and the shuffled
-    // probe side stays minimal.
-    val rIdx = (0 to tol).minBy(r => masks(r).length + 8 * masks(tol - r).length)
+    // 16-bit chunks, tol=2 → (2,0): 137+8 rows/chunk vs (1,1): 17+136 —
+    // and the shuffled probe side stays minimal.
+    val rIdx = (0 to tol).minBy(r =>
+      masksB(r, chunkBits).length + 8L * masksB(tol - r, chunkBits).length)
     val rPrb = tol - rIdx
 
     val conf = sig.filter(col("has_pdq") && !col("low_conf"))
 
     val idx0 = bandKeys(
       conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),
-      Seq("h0", "h1", "h2", "h3"), rIdx)
+      Seq("h0", "h1", "h2", "h3"), rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
     val idx = if (saltFactor <= 1) idx0.withColumn("salt", lit(0))
@@ -129,7 +158,7 @@ object BandJoin {
       .select(col("ord"),
         col("v").getItem(0).as("v0"), col("v").getItem(1).as("v1"),
         col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
-    val prb0 = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb)
+    val prb0 = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("v0"), col("v1"), col("v2"), col("v3"))
     val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
@@ -175,8 +204,9 @@ object BandJoin {
   }
 
   /** All verified duplicate edges (a < b, minimal dist per pair). */
-  def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 1): DataFrame =
-    fuzzyEdges(sig, threshold, saltFactor)
+  def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
+            chunkBits: Int = BitsPerChunk): DataFrame =
+    fuzzyEdges(sig, threshold, saltFactor, chunkBits)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

@@ -72,6 +72,41 @@ class LshSpec extends AnyFunSuite {
     assert(compIds.distinct.size == 1, s"planted rows split across components: $compIds")
   }
 
+  test("chunk-width knob: 32-bit chunks find the same planted cluster") {
+    // corpus-scale configuration (8×32-bit chunks, SCALING.md): identical
+    // recall semantics by pigeonhole at tol = ⌊t/8⌋, different cost curve
+    val r = new java.util.Random(43)
+    val n = 1500
+    val hashes = scala.collection.mutable.ArrayBuffer.fill(n)(randHash(r))
+    val target = randHash(r)
+    val planted = Seq(target, flipBits(target, r, 3), flipBits(target, r, 9),
+      flipBits(target, r, 15))
+    val slots = scala.collection.mutable.Set[Int]()
+    while (slots.size < 4) slots += r.nextInt(n)
+    val slotSeq = slots.toSeq
+    slotSeq.zip(planted).foreach { case (s, h) => hashes(s) = h }
+
+    // threshold 15 at 8 chunks → tol 1 (33 masks of 32 bits)
+    val edges16 = BandJoin.edges(sigFrame(hashes.toSeq), 15)
+    val edges32 = BandJoin.edges(sigFrame(hashes.toSeq), 15, chunkBits = 32)
+    val e16 = edges16.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val e32 = edges32.collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(e16 == e32, s"only16=${(e16 -- e32).take(3)} only32=${(e32 -- e16).take(3)}")
+    val comps = graft.cc.ConnectedComponents.run(spark, edges32).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(slotSeq.map(s => comps.get(s.toLong)).distinct.size == 1)
+  }
+
+  test("masksB: sizes are ball volumes at any width") {
+    def c(n: Int, k: Int): Long =
+      (0 until k).map(i => (n - i).toLong).product / (1 to math.max(k, 1)).map(_.toLong).product
+    assert(BandJoin.masksB(1, 32).length == 33)
+    assert(BandJoin.masksB(2, 32).length == 1 + 32 + c(32, 2))
+    assert(BandJoin.masksB(2, 8).length == 1 + 8 + c(8, 2))
+    assert(BandJoin.masksB(0, 64).length == 1)
+    assert(BandJoin.masksB(3, 16).length == 697) // reference tier parity
+  }
+
   test("low-confidence rows only match exactly (scanner.rs:1579-1594)") {
     val r = new java.util.Random(11)
     val base = randHash(r)
