@@ -20,8 +20,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val HeadlineQueries = Seq(
     "q_hamming_hist", "q_band_extract", "q_band_join_pairs",
-    "q_connected_components", "q_dup_groups", "q_doc_minhash",
-    "q_minhash_band_pairs", "q_simhash", "q_ann_topk", "q_embed_near_dup",
+    "q_connected_components", "q_dup_groups", "q_stem_merge",
+    "q_greedy_groups", "q_doc_minhash", "q_minhash_band_pairs", "q_simhash",
+    "q_substring_dup", "q_ann_topk", "q_ann_ivf", "q_embed_near_dup",
     "q_window_dup_counts", "q_exact_dedup_docs")
 
   // ~114k images: big enough that per-run fixed overhead (~9 s of plan/
