@@ -58,4 +58,41 @@ object StreamingSignatures {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** A detected exact duplicate in the stream. */
+  final case class StreamDup(content_hex: String, image_id: String,
+                             first_image_id: String, nth: Int)
+
+  /**
+   * Stateful streaming exact-dup detection with `flatMapGroupsWithState`:
+   * keyed by content hash, state = (first-seen image_id, count); every
+   * subsequent arrival of the same bytes emits a StreamDup row pointing at
+   * the keeper. This is the streaming form of the hash_db cache-hit path
+   * (scanner.rs:1251-1294: a re-seen content hash skips recompute) — here
+   * the "cache" is Spark-managed per-key state, so it scales out with the
+   * shuffle and survives restarts via the checkpoint.
+   *
+   * Input: a streaming frame with (content_hex string, image_id string).
+   */
+  def streamingExactDups(spark: SparkSession, hashed: DataFrame)
+  : org.apache.spark.sql.Dataset[StreamDup] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    hashed.select("content_hex", "image_id").as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int), StreamDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(String, Int)]) =>
+          // deterministic order inside a batch: ids sorted
+          val ids = rows.map(_._2).toSeq.sorted
+          val first = state.getOption.map(_._1).getOrElse(ids.head)
+          val prev = state.getOption.map(_._2).getOrElse(0)
+          val out = ids.zipWithIndex.collect {
+            case (id, i) if prev + i + 1 > 1 => // every arrival after the keeper
+              StreamDup(key, id, first, prev + i + 1)
+          }
+          state.update((first, prev + ids.length))
+          out.iterator
+      }
+  }
 }

@@ -66,6 +66,29 @@ class ExtrasSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == rows.size)
   }
 
+  test("stateful streaming exact-dup detection (flatMapGroupsWithState)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val dups = StreamingSignatures.streamingExactDups(
+      spark, input.toDF().toDF("content_hex", "image_id"))
+    val q = dups.writeStream.format("memory").queryName("stream_dups")
+      .outputMode("append").start()
+    try {
+      // batch 1: h1 seen twice (one dup), h2 once
+      input.addData(("h1", "a"), ("h1", "b"), ("h2", "c"))
+      q.processAllAvailable()
+      // batch 2: h1 again (dup #3), h2 again (dup #2) — state crosses batches
+      input.addData(("h1", "d"), ("h2", "e"))
+      q.processAllAvailable()
+      val got = spark.table("stream_dups")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+      assert(got == Set(
+        ("h1", "b", "a", 2), ("h1", "d", "a", 3), ("h2", "e", "c", 2)), got.toString)
+    } finally q.stop()
+  }
+
   test("windowed ingest metrics (watermark + tumbling window)") {
     import spark.implicits._
     val events = Seq(
