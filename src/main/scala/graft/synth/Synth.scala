@@ -35,7 +35,7 @@ object Synth {
     "over", "under", "beside", "through", "against", "toward", "morning",
     "evening", "light", "shadow", "stone", "water")
 
-  private def rng(baseId: Long, salt: Long): Random =
+  private[graft] def rng(baseId: Long, salt: Long): Random =
     new Random(Seed * 0x9e3779b97f4a7c15L + baseId * 0x165667b19e3779f9L + salt)
 
   /** Deterministic caption: 8–13 words drawn from the bank. */
@@ -378,6 +378,24 @@ object Synth {
 
   /** Remove a fractional border (the crop5 stress class — borderline for
     * PDQ, excluded from the recall denominator, FIXTURES.md §2). */
+  /** Per-channel photometric transform: contrast `scale` around mid-gray
+    * plus brightness `offset`, clipped to [0,255]. */
+  def photometric(d: DecodedImage, scale: Double, offset: Int): DecodedImage = {
+    val out = new Array[Int](d.argb.length)
+    var i = 0
+    while (i < out.length) {
+      val p = d.argb(i)
+      @inline def adj(c: Int): Int = {
+        val v = math.round((c - 128) * scale + 128 + offset).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
+      out(i) = 0xff000000 | (adj((p >> 16) & 0xff) << 16) |
+        (adj((p >> 8) & 0xff) << 8) | adj(p & 0xff)
+      i += 1
+    }
+    DecodedImage(d.w, d.h, out)
+  }
+
   def cropBorder(d: DecodedImage, frac: Double): DecodedImage = {
     val dx = (d.w * frac).toInt; val dy = (d.h * frac).toInt
     val nw = d.w - 2 * dx; val nh = d.h - 2 * dy
@@ -446,14 +464,16 @@ object Synth {
     } else {
       val img = baseImage(baseId, nearFlat = false)
       val orig = encRow(id("orig"), img, "png", cap, baseId, "orig")
-      // family 1 (checkerboard) skips the resize class: periodic hard-edged
-      // boards are genuinely resize-fragile under PDQ (blur-window phase
-      // shift > threshold) — reference-faithful, excluded like crop5
+      // periodic families (1 checkerboard, 4 sinusoid) skip the resize
+      // class: resampling shifts the sampling lattice's phase against the
+      // pattern and PDQ distance jumps past threshold (measured: sinusoid
+      // 179×132 at 0.75 → dist 54) — reference-faithful, excluded like crop5
       val rFam = rng(baseId, 1)
       rFam.nextInt(5); rFam.nextInt(5)
-      val isBoard = rFam.nextInt(5) == 1
+      val famDraw = rFam.nextInt(5)
+      val isBoard = famDraw == 1 || famDraw == 4
       val all = Vector("exact", "recompress", "resize", "rot90", "rot180",
-        "rot270", "fliph", "flipv", "gray-raw")
+        "rot270", "fliph", "flipv", "gray-raw", "bright", "contrast")
       val n = 1 + r.nextInt(4)
       val chosen0 = r.ints(0, all.size).distinct().limit(n).toArray.toSeq.map(all)
         .map(v => if (v == "resize" && isBoard) "recompress" else v).distinct
@@ -464,8 +484,15 @@ object Synth {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
         case "recompress" => encRow(id("recompress"), img, "jpg", cap, baseId, "recompress")
-        case "resize" => encRow(id("resize"), resizeScale(img, 0.5625), "jpg90",
-          captionEdited(baseId, 1), baseId, "resize")
+        case "resize" =>
+          // the Kaanapali fixture recipe (1280→720 = 0.5625) applies to
+          // real-photo sizes; an already-tiny original lands near PDQ's
+          // own 64×64 grid where that scale is a categorically harsher
+          // transform (measured: 179px×0.5625 → dist 62) — small bases
+          // get the milder 0.75
+          val rs = if (math.min(img.w, img.h) >= 256) 0.5625 else 0.75
+          encRow(id("resize"), resizeScale(img, rs), "jpg90",
+            captionEdited(baseId, 1), baseId, "resize")
         case "rot90" => encRow(id("rot90"), rotate90(img), "png", cap, baseId, "rot90")
         case "rot180" => encRow(id("rot180"), rotate180(img), "png", cap, baseId, "rot180")
         case "rot270" => encRow(id("rot270"), rotate270(img), "png", cap, baseId, "rot270")
@@ -473,6 +500,14 @@ object Synth {
         case "flipv" => encRow(id("flipv"), flipV(img), "png", cap, baseId, "flipv")
         case "crop5" => encRow(id("crop5"), cropBorder(img, 0.05), "jpg90",
           cap, baseId, "crop5")
+        // photometric classes: PDQ drops the DC coefficient (pdqhash.rs:316
+        // freq offset 1) and binarizes against the median, so brightness
+        // shifts and contrast scaling are near-invariant up to clipping —
+        // the lossy-variant realism axis the fixtures lack
+        case "bright" => encRow(id("bright"), photometric(img, 1.0, 24), "jpg90",
+          cap, baseId, "bright")
+        case "contrast" => encRow(id("contrast"), photometric(img, 1.25, 0), "png",
+          captionEdited(baseId, 3), baseId, "contrast")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
