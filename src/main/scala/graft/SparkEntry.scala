@@ -27,6 +27,7 @@ object SparkEntry {
     "q_cache_join" -> (RQ.qCacheJoin _),
     "q_registry_reuse" -> (RQ.qRegistryReuse _),
     "q_stem_merge" -> (RQ.qStemMerge _),
+    "q_index_probe" -> (RQ.qIndexProbe _),
     "q_greedy_groups" -> (RQ.qGreedyGroups _),
     "q_window_dup_counts" -> (RQ.qWindowDupCounts _),
     "q_top_per_key" -> (RQ.qTopPerKey _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_cache_join" -> RQ.sqlCacheJoin(d),
     "q_registry_reuse" -> RQ.sqlRegistryReuse(d),
     "q_stem_merge" -> RQ.sqlStemMerge(d),
+    "q_index_probe" -> RQ.sqlIndexProbe(d),
     "q_greedy_groups" -> RQ.sqlGreedyGroups(d),
     "q_window_dup_counts" -> RQ.sqlWindowDupCounts(d),
     "q_top_per_key" -> RQ.sqlTopPerKey(d),

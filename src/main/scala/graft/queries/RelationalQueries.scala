@@ -200,6 +200,46 @@ object RelationalQueries {
        SELECT n::BIGINT AS id, min(c)::BIGINT AS comp FROM walk GROUP BY n ORDER BY id"""
 
   // =========================================================================
+  // Incremental index probe (BandIndex.probe shape): even ids form the
+  // persisted corpus index, odd ids are the delta; candidate edges come
+  // from band-key equality, verification applies PER-SIDE low-quality
+  // limits (scanner.rs:1579-1594: either side low ⇒ exact only).
+  // =========================================================================
+  def qIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val rows = plantedHashes(spark, dir)
+      .withColumn("quality", (col("id") * 7919L) % 101L)
+      .withColumn("low", col("quality") < 50)
+    val idx = rows.where(col("id") % 2 === 0)
+    val prb = rows.where(col("id") % 2 === 1)
+    def banded(df: DataFrame) = df.select(col("id"), col("h"), col("low"),
+      posexplode(array((0 until 4).map(k => chunkCol(col("h"), k)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded(prb).select(col("id").as("a"), col("h").as("ha"),
+      col("low").as("la"), col("band_idx"), col("band_val"))
+    val b = banded(idx).select(col("id").as("b"), col("h").as("hb"),
+      col("low").as("lb"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"),
+        when(col("la") || col("lb"), 0L).otherwise(lit(BandThreshold.toLong)).as("lim"))
+      .where(col("dist") <= col("lim"))
+      .select("a", "b", "dist").distinct()
+      .orderBy("a", "b")
+  }
+  def sqlIndexProbe(dir: String): String =
+    s"""WITH hashes AS (SELECT event_id::BIGINT AS id, $plantedSql AS h,
+         ((event_id * 7919) % 101 < 50) AS low
+         FROM events WHERE event_id < $MaxPlantedId),
+       bands AS (SELECT id, h, low, k, ((h >> (k*16)) & 65535) AS band
+         FROM hashes, (VALUES (0),(1),(2),(3)) t(k)),
+       joined AS (SELECT x.id AS a, y.id AS b,
+           bit_count(xor(x.h, y.h))::BIGINT AS dist,
+           (CASE WHEN x.low OR y.low THEN 0 ELSE $BandThreshold END) AS lim
+         FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band
+         WHERE x.id % 2 = 1 AND y.id % 2 = 0)
+       SELECT DISTINCT a, b, dist FROM joined WHERE dist <= lim ORDER BY a, b"""
+
+  // =========================================================================
   // A3 — greedy seed+neighbors grouping (hamminghash.rs:191-271): the MIH
   // library's single-pass alternative to union-find. Run on structured
   // input (even clusters = 16-cliques, odd clusters = 16-paths) whose
