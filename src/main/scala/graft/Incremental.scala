@@ -36,7 +36,8 @@ object Incremental {
 
   def run(spark: SparkSession, deltaImages: DataFrame, corpusWork: String,
           deltaWork: String,
-          threshold: Int = Pipeline.DefaultThreshold): DataFrame = {
+          threshold: Int = Pipeline.DefaultThreshold,
+          registryPath: Option[String] = None): DataFrame = {
     val ckpt = new Ckpt(spark, deltaWork)
     val corpusSig = spark.read.parquet(s"$corpusWork/signatures")
     val indexPath = s"$corpusWork/band_index"
@@ -73,7 +74,27 @@ object Incremental {
       ConnectedComponents.run(spark, allEdges))
 
     val allSig = corpusSig.unionByName(deltaSig)
-    val (grouped, _) = ckpt.stage("groups")(Groups.assemble(allSig, comps))
+    val (grouped, _) = ckpt.stage("groups")(registryPath match {
+      case None => Groups.assemble(allSig, comps)
+      case Some(regPath) =>
+        // same S11/J7 semantics as the batch path: a merged group keeps
+        // the UUID any of its members' hashes already carry — so a group
+        // that absorbs delta rows keeps its identity across runs
+        val assembled = Groups.assemble(allSig, comps)
+        val registry =
+          try spark.read.parquet(regPath)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              import spark.implicits._
+              Seq.empty[(Long, Long, Long, Long, String)]
+                .toDF("h0", "h1", "h2", "h3", "group_uuid")
+          }
+        val assigned = graft.groups.GroupRegistry.assign(assembled, registry)
+          .localCheckpoint()
+        graft.groups.GroupRegistry.merge(spark, regPath,
+          graft.groups.GroupRegistry.registryRows(assembled, assigned))
+        assembled.join(assigned, Seq("comp"), "left")
+    })
 
     // index maintenance — marker-guarded so resume never double-appends
     val appendedMarker = s"$deltaWork/_index_appended"

@@ -47,6 +47,34 @@ class IncrementalSpec extends AnyFunSuite {
       "no group straddles the boundary — split too coarse for this test")
   }
 
+  test("registry UUIDs survive the incremental merge (S11/J7 across runs)") {
+    val (corpus, delta) = rows.zipWithIndex.partition(_._2 % 3 != 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-inc3").toString
+    val reg = s"$base/registry"
+    def uuidsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.select("image_id", "group_uuid").collect()
+        .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _)).toMap
+    val before = uuidsOf(Pipeline.run(spark, toDF(corpus.map(_._1)),
+      s"$base/corpus-work", Threshold, registryPath = Some(reg)))
+    val after = uuidsOf(Incremental.run(spark, toDF(delta.map(_._1)),
+      s"$base/corpus-work", s"$base/delta-work", Threshold,
+      registryPath = Some(reg)))
+    assert(before.nonEmpty)
+    // a member whose new group contains exactly one pre-existing UUID
+    // must keep that UUID; merged-group members adopt the winner
+    val newGroups = after.groupBy(_._2).values.map(_.map(_._1).toSet)
+    newGroups.foreach { members =>
+      val olds = members.flatMap(before.get)
+      if (olds.size == 1)
+        members.filter(before.contains).foreach { m =>
+          assert(after(m) == before(m), s"$m lost uuid ${before(m)} -> ${after(m)}")
+        }
+    }
+    // at least one pre-existing group must persist through the merge
+    assert(newGroups.exists(m => m.flatMap(before.get).size == 1 &&
+      m.exists(before.contains)))
+  }
+
   test("incremental resume: second run reuses committed stages, same groups") {
     val (corpus, delta) = rows.zipWithIndex.partition(_._2 % 3 != 0)
     val base = java.nio.file.Files.createTempDirectory("graft-inc2").toString
