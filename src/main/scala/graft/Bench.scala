@@ -25,12 +25,13 @@ object Bench {
     "q_substring_dup", "q_ann_topk", "q_ann_ivf", "q_embed_near_dup",
     "q_window_dup_counts", "q_exact_dedup_docs")
 
-  // ~114k images: big enough that per-run fixed overhead (~9 s of plan/
-  // commit/schedule) stays under 5% of the 2-core run, so measured
+  // ~68k images: big enough that per-run fixed overhead (~9 s of plan/
+  // commit/schedule) stays under 4% of the 4-core run, so measured
   // scaling reflects the plan, not Spark constants — while keeping the
-  // whole bench (one-time corpus synth + N + 3×4N runs) under ~10 minutes
+  // whole bench (one-time corpus synth + 2×N + 3×4N child runs) around
+  // 20 minutes on the shared host
   private val BenchBases =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "40000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "24000").toLong
 
   private def session(cpus: Int): SparkSession = {
     val s = Pipeline.session(s"local[$cpus]", shufflePartitions = math.max(cpus, 8))
