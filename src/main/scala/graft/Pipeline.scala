@@ -62,9 +62,12 @@ object Pipeline {
   /** Full run. Returns the per-member groups frame. When `registryPath`
     * is set, groups get cross-run-stable UUIDs (S11/J7 semantics) and the
     * registry table is merged back. */
+  /** `chunkBits` selects the MIH chunk width (16 = reference parity;
+    * 32 = the ≥10⁹-image configuration — SCALING.md cost model). */
   def run(spark: SparkSession, images: DataFrame, workDir: String,
           threshold: Int = DefaultThreshold,
-          registryPath: Option[String] = None): DataFrame = {
+          registryPath: Option[String] = None,
+          chunkBits: Int = graft.lsh.BandJoin.BitsPerChunk): DataFrame = {
     val ckpt = new Ckpt(spark, workDir)
 
     val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
@@ -78,7 +81,8 @@ object Pipeline {
         if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
     }
 
-    val (edges, edgesHit) = ckpt.stage("edges")(BandJoin.edges(sig, threshold))
+    val (edges, edgesHit) = ckpt.stage("edges")(
+      BandJoin.edges(sig, threshold, chunkBits = chunkBits))
     if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)
 
     val (comps, _) = ckpt.stage("components")(
