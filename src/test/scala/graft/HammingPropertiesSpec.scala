@@ -34,6 +34,47 @@ class HammingPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("width-generic pigeonhole + chunk reconstruction (8/16/32/64-bit)") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    for (bits <- Seq(8, 16, 32, 64)) {
+      val m = 256 / bits
+      // chunk reconstruction: extracting every chunk and re-assembling
+      // recovers the 4 longs, at any width
+      val hs = samples(genHash, 40).map(Pdq.toLongs)
+      val df = hs.map(l => (l(0), l(1), l(2), l(3))).toDF("h0", "h1", "h2", "h3")
+      val chunks = df.select(
+        graft.lsh.BandJoin.chunksArrayB(Seq("h0", "h1", "h2", "h3").map(col), bits)
+          .as("cs"), col("h0"), col("h1"), col("h2"), col("h3")).collect()
+      chunks.foreach { r =>
+        val cs = r.getSeq[Long](0)
+        val perLong = 64 / bits
+        val rebuilt = (0 until 4).map { w =>
+          (0 until perLong).map(k => cs(w * perLong + k) << (k * bits))
+            .foldLeft(0L)(_ | _)
+        }
+        assert(rebuilt == Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          s"bits=$bits reconstruction failed")
+      }
+      // pigeonhole at width `bits`: dist ≤ t ⇒ some chunk differs ≤ ⌊t/m⌋,
+      // and a radius-⌊t/m⌋ mask on either side therefore collides
+      for ((h, flips) <- samples(genHash, 150).zip(samples(genBits, 150))) {
+        val g = flip(h, flips)
+        val d = Pdq.hamming(h, g)
+        val hl = Pdq.toLongs(h); val gl = Pdq.toLongs(g)
+        val perLong = 64 / bits
+        val mask = if (bits == 64) -1L else (1L << bits) - 1
+        val minChunk = (0 until m).map { k =>
+          java.lang.Long.bitCount(
+            ((hl(k / perLong) >>> ((k % perLong) * bits)) & mask) ^
+              ((gl(k / perLong) >>> ((k % perLong) * bits)) & mask))
+        }.min
+        assert(minChunk <= d / m, s"bits=$bits d=$d minChunk=$minChunk")
+      }
+    }
+  }
+
   test("hamming is a metric: identity, symmetry, triangle inequality") {
     for (((h, b1), b2) <- samples(genHash).zip(samples(genBits)).zip(samples(genBits, 300).reverse)) {
       val a = flip(h, b1); val b = flip(h, b2)
