@@ -29,7 +29,7 @@ final class Ckpt(spark: SparkSession, workDir: String) {
   private val pendingMetrics =
     scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
   private val pendingPartLineage =
-    scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
 
   /** Run `compute` unless `stage` is already committed; always returns the
     * materialized frame (reads back from parquet so downstream plans start
@@ -44,13 +44,18 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path(stageName))
       val out = spark.read.parquet(path(stageName))
-      // per-partition lineage in ONE zero-column job (row-group metadata
-      // scan): partition row counts for skew/resume audit, summed for the
-      // stage total — the per-partition replacement for the reference's
-      // per-file last_seen rows (db.rs:909-911)
-      val parts = out.groupBy(spark_partition_id().as("pid"))
+      // per-file lineage in ONE zero-column job: row counts keyed by the
+      // WRITTEN file (input_file_name is stable across re-reads, unlike
+      // spark_partition_id which reflects the reader's split assignment),
+      // summed for the stage total — the per-partition replacement for the
+      // reference's per-file last_seen rows (db.rs:909-911). The projection
+      // is empty, so only parquet batch row counts are scanned, no columns.
+      val parts = out.groupBy(input_file_name().as("file"))
         .agg(count(lit(1)).as("rows")).collect()
-      parts.foreach(r => pendingPartLineage += ((stageName, r.getInt(0), r.getLong(1))))
+      parts.foreach { r =>
+        val leaf = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        pendingPartLineage += ((stageName, leaf, r.getLong(1)))
+      }
       appendLineage(stageName, parts.map(_.getLong(1)).sum,
         (System.nanoTime() - t0) / 1000000)
       (out, false)
@@ -77,7 +82,7 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       pendingMetrics.clear()
     }
     if (pendingPartLineage.nonEmpty) {
-      pendingPartLineage.toSeq.toDF("stage", "partition_id", "rows")
+      pendingPartLineage.toSeq.toDF("stage", "file", "rows")
         .coalesce(1).write.mode(SaveMode.Append)
         .parquet(s"$workDir/_lineage_partitions")
       pendingPartLineage.clear()

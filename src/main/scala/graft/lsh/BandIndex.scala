@@ -1,5 +1,6 @@
 package graft.lsh
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,39 +23,91 @@ import org.apache.spark.sql.functions._
  * rows/image, like the reference's MIH buckets); the multi-probe masks
  * stay on the small delta side.
  *
+ * Layout: a directory of SEGMENT subdirectories (`seg_*`), each committed
+ * atomically by writing to a dot-prefixed staging dir and renaming — the
+ * Iceberg-snapshot-commit analog. A crash mid-append leaves only an
+ * invisible staging dir; a resumed append with the same segment name is a
+ * no-op once the segment exists, so appends are exactly-once without any
+ * side marker.
+ *
  * Semantics match the full-join path including the low-quality gate
  * (scanner.rs:1579-1594): low-confidence rows are indexed and probed at
  * per-side limit 0 (exact match only), confident rows at the threshold.
  */
 object BandIndex {
+  final val BaseSegment = "seg_base"
 
-  /** Explode `sig` into the persisted index layout:
-    * (band_idx, band_val, ord, h0..h3, low_conf), range-partitioned and
-    * sorted by the band key. */
-  def build(sig: DataFrame, path: String, numPartitions: Int = 32): Unit = {
-    val rows = sig.filter(col("has_pdq"))
-      .select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3"),
-        col("low_conf"),
-        posexplode(BandJoin.chunksArray(Seq("h0", "h1", "h2", "h3").map(col)))
-          .as(Seq("band_idx", "band_val")))
-    rows
-      .repartitionByRange(numPartitions, col("band_idx"), col("band_val"))
-      .sortWithinPartitions("band_idx", "band_val")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True when the index has at least one committed segment. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("seg_"))
   }
 
-  /** Append a delta's band keys to an existing index (Iceberg-commit
-    * analog; file-level range stats still prune because each appended file
-    * is itself range-partitioned). */
-  def append(sig: DataFrame, path: String, numPartitions: Int = 32): Unit =
+  /** All committed segment paths (ordered by name for determinism). */
+  private def segments(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("seg_"))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** The full index as a DataFrame (union of committed segments). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val segs = segments(spark, path)
+    require(segs.nonEmpty, s"band index at $path has no committed segments")
+    spark.read.parquet(segs: _*)
+  }
+
+  private def bandRows(sig: DataFrame): DataFrame =
     sig.filter(col("has_pdq"))
       .select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3"),
         col("low_conf"),
         posexplode(BandJoin.chunksArray(Seq("h0", "h1", "h2", "h3").map(col)))
           .as(Seq("band_idx", "band_val")))
+
+  /** Write one segment atomically: stage under a dot-prefixed dir, then
+    * rename into place. Idempotent: an existing committed segment is left
+    * untouched (a resumed run never double-appends). */
+  private def writeSegment(sig: DataFrame, path: String, segName: String,
+                           numPartitions: Int): Unit = {
+    require(segName.startsWith("seg_"), s"segment name must start with seg_: $segName")
+    val spark = sig.sparkSession
+    val f = fs(spark, path)
+    val finalP = new Path(path, segName)
+    if (f.exists(finalP)) return // already committed
+    val staging = new Path(path, s".tmp_$segName")
+    bandRows(sig)
       .repartitionByRange(numPartitions, col("band_idx"), col("band_val"))
       .sortWithinPartitions("band_idx", "band_val")
-      .write.mode(SaveMode.Append).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!f.rename(staging, finalP))
+      throw new java.io.IOException(
+        s"band index commit failed: rename $staging -> $finalP")
+  }
+
+  /** Build the index from a full corpus (base segment). */
+  def build(sig: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    writeSegment(sig, path, BaseSegment, numPartitions)
+
+  /** Append a delta's band keys as a new named segment. `segName` is the
+    * idempotency key: pass one derived from the delta run identity so a
+    * crashed-and-resumed append commits exactly once. */
+  def append(sig: DataFrame, path: String, segName: String = "seg_delta",
+             numPartitions: Int = 32): Unit =
+    writeSegment(sig, path, segName, numPartitions)
+
+  /** Highest ord present in the index, or -1 when empty — the indexed-ord
+    * ceiling used to audit index/signature consistency (a lagging index
+    * means committed signatures whose keys were never appended). */
+  def maxOrd(spark: SparkSession, path: String): Long = {
+    val r = read(spark, path).agg(max("ord")).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
 
   /**
    * Probe the persisted index with a delta: verified duplicate edges
@@ -70,7 +123,7 @@ object BandIndex {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
     val tol = threshold / BandJoin.NumChunks
-    val idx = spark.read.parquet(path)
+    val idx = read(spark, path)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"),
         col("h2").as("c2"), col("h3").as("c3"),

@@ -43,10 +43,36 @@ object BandJoin {
   def masks(radius: Int): Array[Int] =
     masksB(radius, BitsPerChunk).map(_.toInt)
 
+  /** Hard cap on XOR masks materialized per explode side: the masks become
+    * a `lit` array in the plan, so an unbounded radius×width combination
+    * (e.g. 64-bit chunks at tol 15 → ~10¹³ masks) must fail fast instead of
+    * hanging the driver. 697 (16-bit R=3, reference parity) and 5.5k
+    * (32-bit r=3, the SCALING.md split) sit comfortably below it. */
+  final val MaxMasksPerSide = 65536L
+
+  /** Σ_{i≤r} C(bits, i) — the mask count masksB would materialize, computed
+    * arithmetically (saturating) so guards can run BEFORE allocation. */
+  def maskCount(radius: Int, bits: Int): Long = {
+    var total = 0L
+    var c = 1L // C(bits, 0)
+    var i = 0
+    while (i <= math.min(radius, bits)) {
+      total += c
+      if (total < 0 || total > Long.MaxValue / 2) return Long.MaxValue
+      if (c > Long.MaxValue / math.max(bits - i, 1)) return Long.MaxValue
+      c = c * (bits - i) / (i + 1)
+      i += 1
+    }
+    total
+  }
+
   /** XOR masks within Hamming radius r of a b-bit value: all subsets of
     * {0..b-1} of size ≤ r as bit masks (recursive combination walk). */
   def masksB(radius: Int, bits: Int): Array[Long] = {
     require(bits >= 1 && bits <= 64)
+    require(maskCount(radius, bits) <= MaxMasksPerSide,
+      s"radius $radius over $bits-bit chunks needs ${maskCount(radius, bits)} " +
+        s"probe masks (> $MaxMasksPerSide) — lower the threshold or widen chunks")
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     def rec(start: Int, left: Int, acc: Long): Unit = {
       out += acc
@@ -129,18 +155,30 @@ object BandJoin {
                                  saltFactor: Int = 1,
                                  chunkBits: Int = BitsPerChunk): DataFrame = {
     val numChunks = 256 / chunkBits
-    if (chunkBits == BitsPerChunk)
-      require(threshold <= 63,
-        s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
+    // the reference caps similarity at 63 for EITHER hash width
+    // (group_files_generic asserts MAX_SIMILARITY_256, scanner.rs:1649-1655)
+    require(threshold <= 63,
+      s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
     // pigeonhole: dist ≤ t over numChunks chunks ⇒ some chunk differs in
     // ≤ ⌊t/numChunks⌋ bits — exhaustive recall at any chunk width
     val tol = threshold / numChunks
     // split the probe radius to minimize total exploded rows: the probe
     // side is 8× heavier (one row per dihedral variant), so weigh it 8×.
     // 16-bit chunks, tol=2 → (2,0): 137+8 rows/chunk vs (1,1): 17+136 —
-    // and the shuffled probe side stays minimal.
-    val rIdx = (0 to tol).minBy(r =>
-      masksB(r, chunkBits).length + 8L * masksB(tol - r, chunkBits).length)
+    // and the shuffled probe side stays minimal. Feasibility (per-side mask
+    // cap) is checked ARITHMETICALLY before any mask array materializes, so
+    // an infeasible width/threshold combination fails fast (maskCount grows
+    // as C(bits, tol) — e.g. 64-bit chunks at threshold 63 would need ~10¹³
+    // masks and must never reach the driver-side lit() build).
+    val feasible = (0 to tol).filter(r =>
+      maskCount(r, chunkBits) <= MaxMasksPerSide &&
+        maskCount(tol - r, chunkBits) <= MaxMasksPerSide)
+    require(feasible.nonEmpty,
+      s"threshold $threshold over $chunkBits-bit chunks: no probe-radius " +
+        s"split fits $MaxMasksPerSide masks/side — lower the threshold or " +
+        s"use narrower chunks")
+    val rIdx = feasible.minBy(r =>
+      maskCount(r, chunkBits) + 8L * maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
     val conf = sig.filter(col("has_pdq") && !col("low_conf"))

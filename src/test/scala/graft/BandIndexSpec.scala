@@ -73,7 +73,7 @@ class BandIndexSpec extends AnyFunSuite {
     BandIndex.build(corpus.toDS().toDF(), s"$dir/index", numPartitions = 8)
     // each physical file must cover a narrow slice of the key space:
     // read per-file min/max of band_idx via input_file_name grouping
-    val stats = spark.read.parquet(s"$dir/index")
+    val stats = BandIndex.read(spark, s"$dir/index")
       .groupBy(org.apache.spark.sql.functions.input_file_name())
       .agg(org.apache.spark.sql.functions.min("band_idx").as("lo"),
         org.apache.spark.sql.functions.max("band_idx").as("hi"))

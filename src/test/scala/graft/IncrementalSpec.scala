@@ -89,9 +89,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(lineage1 == lineage2, "resume recomputed a committed stage")
     // the index must contain exactly corpus + delta keys (no double append)
     import org.apache.spark.sql.functions._
-    val idxOrds = spark.read.parquet(s"$base/corpus-work/band_index")
+    val idxOrds = graft.lsh.BandIndex.read(spark, s"$base/corpus-work/band_index")
       .groupBy("ord").agg(count(lit(1)).as("n"))
     assert(idxOrds.where(col("n") =!= 16).count() == 0,
       "some ord has != 16 band keys — double append or truncation")
+  }
+
+  test("chained deltas: two sequential increments == one full batch run") {
+    // round-1 ADVICE (high): a second delta must see the first delta's
+    // signatures/components, not stale v0 state — otherwise ords collide
+    // and groups merge wrongly. Split rows 3 ways, apply two deltas.
+    val base = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val byIdx = rows.zipWithIndex
+    val corpus = byIdx.filter(_._2 % 3 == 0).map(_._1)
+    val delta1 = byIdx.filter(_._2 % 3 == 1).map(_._1)
+    val delta2 = byIdx.filter(_._2 % 3 == 2).map(_._1)
+
+    Pipeline.run(spark, toDF(corpus), s"$base/corpus-work", Threshold)
+    Incremental.run(spark, toDF(delta1),
+      s"$base/corpus-work", s"$base/delta1-work", Threshold)
+    val inc2 = Incremental.run(spark, toDF(delta2),
+      s"$base/corpus-work", s"$base/delta2-work", Threshold)
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work", Threshold)
+
+    assert(groupsOf(inc2) == groupsOf(full),
+      s"chained incremental diverged: only-inc=${(groupsOf(inc2) -- groupsOf(full)).take(3)} " +
+        s"only-full=${(groupsOf(full) -- groupsOf(inc2)).take(3)}")
+    // state advanced twice and every indexed ord exists in the signatures
+    assert(CorpusState.version(spark, s"$base/corpus-work") == 2)
+    import org.apache.spark.sql.functions._
+    val sigMax = spark.read.parquet(
+        CorpusState.sigPath(s"$base/corpus-work", 2))
+      .agg(max("ord")).head().getLong(0)
+    val idxMax = graft.lsh.BandIndex.maxOrd(spark, s"$base/corpus-work/band_index")
+    assert(idxMax <= sigMax, s"index ord $idxMax leads signatures $sigMax")
   }
 }
