@@ -39,6 +39,9 @@ object SparkEntry {
     "q_exif_timestamp" -> (RQ.qExifTimestamp _),
     "q_dms_to_decimal" -> (RQ.qDmsToDecimal _),
     "q_natural_sort" -> (RQ.qNaturalSort _),
+    "q_phash_groups" -> (RQ.qPhashGroups _),
+    "q_group_max_dist" -> (RQ.qGroupMaxDist _),
+    "q_band_join_r3" -> (RQ.qBandJoinR3 _),
     // text / dedup / ANN operators (DuckDB-gated)
     "q_doc_shingles" -> (TQ.qDocShingles _),
     "q_doc_minhash" -> (TQ.qDocMinhash _),
@@ -63,7 +66,8 @@ object SparkEntry {
     "q_img_groups" -> (IQ.qImgGroups _),
     "q_img_dup_pairs" -> (IQ.qImgDupPairs _),
     "q_img_caption_candidates" -> (IQ.qImgCaptionCandidates _),
-    "q_img_decode_meta" -> (IQ.qImgDecodeMeta _)
+    "q_img_decode_meta" -> (IQ.qImgDecodeMeta _),
+    "q_img_phash_groups" -> (IQ.qImgPhashGroups _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -96,6 +100,10 @@ object SparkEntry {
     "q_number_from_string" -> RQ.sqlNumberFromString(d),
     "q_exif_timestamp" -> RQ.sqlExifTimestamp(d),
     "q_dms_to_decimal" -> RQ.sqlDmsToDecimal(d),
+    "q_natural_sort" -> RQ.sqlNaturalSort(d),
+    "q_phash_groups" -> RQ.sqlPhashGroups(d),
+    "q_group_max_dist" -> RQ.sqlGroupMaxDist(d),
+    "q_band_join_r3" -> RQ.sqlBandJoinR3(d),
     "q_doc_shingles" -> TQ.sqlDocShingles(d),
     "q_doc_minhash" -> TQ.sqlDocMinhash(d),
     "q_minhash_band_pairs" -> TQ.sqlMinhashBandPairs(d),

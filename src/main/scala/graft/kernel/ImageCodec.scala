@@ -33,25 +33,44 @@ final case class DecodedImage(w: Int, h: Int, argb: Array[Int]) {
 
 /**
  * Tiered decode kernel (scanner.rs:461-735 simplified): per-format dispatch
- * on the `fmt` column — `png`/`jpg` via ImageIO, `gray-raw` as a raw w×h
- * 8-bit gray plane. Decode failures return None (the row flows on with
- * null signature, mirroring the reference's decode-failure path).
+ * on the `fmt` column — `png`/`jpg`/`bmp`/`gif`/`tiff` via ImageIO (the JDK
+ * ships a TIFF plugin since Java 9), `gray-raw` as a raw w×h 8-bit gray
+ * plane, RAW camera formats via embedded-JPEG-preview extraction (the
+ * scanner.rs:1353-1380 trick: find the largest JPEG thumbnail in the RAW
+ * container and decode that — here a pure byte scan for SOI/EOI markers,
+ * no RAW codec needed). Decode failures return None with a status string
+ * (the row flows on with null signature, mirroring the reference's
+ * decode-failure path) — the status feeds per-fmt `_metrics` rows so a
+ * silently-undecodable slice of a 100 TB corpus is visible, not lumped.
  *
- * The heavier codecs the reference supports (JXL/PDF/TIFF/RAW,
- * scanner.rs:553-735) are not available in this container; their dispatch
- * slots are stubbed to None and documented — the Spark-side plumbing
- * (schema, per-row try-fallback, fmt dispatch) is identical.
+ * Still stubbed (codecs absent in this container): JXL, PDF, HEIC
+ * (scanner.rs:553-708) — reported as `unsupported`, distinct from `error`.
  */
 object ImageCodec {
   // in-memory ImageInputStreams: the default file-backed cache serializes
   // parallel decodes on temp-dir I/O
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** RAW container formats (reference RAW_EXTS, scanner.rs:2291-2294). */
+  final val RawFormats: Set[String] = Set(
+    "nef", "dng", "cr2", "cr3", "arw", "orf", "rw2", "raf", "kdc", "dcr",
+    "pef", "x3f", "srf", "3fr")
+
+  final val StatusOk = "ok"
+  final val StatusError = "error"
+  final val StatusUnsupported = "unsupported"
+
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Option[DecodedImage] =
+    decodeWithStatus(bytes, fmt, w, h)._1
+
+  /** Decode + outcome status: `ok`, `error` (format should decode but its
+    * bytes don't), or `unsupported` (no codec tier for this fmt). */
+  def decodeWithStatus(bytes: Array[Byte], fmt: String, w: Int,
+                       h: Int): (Option[DecodedImage], String) =
     try {
-      fmt match {
+      fmt.toLowerCase match {
         case "gray-raw" =>
-          if (bytes.length < w * h || w <= 0 || h <= 0) None
+          if (bytes.length < w * h || w <= 0 || h <= 0) (None, StatusError)
           else {
             val argb = new Array[Int](w * h)
             var i = 0
@@ -60,16 +79,55 @@ object ImageCodec {
               argb(i) = 0xff000000 | (g << 16) | (g << 8) | g
               i += 1
             }
-            Some(DecodedImage(w, h, argb))
+            (Some(DecodedImage(w, h, argb)), StatusOk)
           }
-        case "png" | "jpg" | "jpeg" | "bmp" | "gif" =>
+        case "png" | "jpg" | "jpeg" | "bmp" | "gif" | "tiff" | "tif" =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          if (img == null) None else Some(fromBuffered(img))
-        // JXL / PDF / TIFF / RAW decode tiers (scanner.rs:553-735): codecs
+          if (img == null) (None, StatusError) else (Some(fromBuffered(img)), StatusOk)
+        case f if RawFormats(f) =>
+          extractLargestJpegPreview(bytes) match {
+            case Some(img) => (Some(img), StatusOk)
+            case None => (None, StatusError)
+          }
+        // JXL / PDF / HEIC decode tiers (scanner.rs:553-708): codecs
         // absent in this environment — plumbing kept, decode stubbed.
-        case _ => None
+        case _ => (None, StatusUnsupported)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
+
+  /**
+   * RAW preview path (scanner.rs:1353-1380 semantics, codec-free): scan the
+   * container bytes for embedded JPEG streams (SOI `FF D8 FF` … EOI `FF D9`)
+   * and decode the LARGEST decodable one — RAW files carry full-size JPEG
+   * previews, and the reference hashes exactly that preview
+   * (`max_by_key(w*h)` over JPEG thumbs). Candidates are tried
+   * longest-first; decode failures fall through to the next span.
+   */
+  def extractLargestJpegPreview(bytes: Array[Byte]): Option[DecodedImage] = {
+    val sois = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < bytes.length - 2) {
+      if (bytes(i) == 0xff.toByte && bytes(i + 1) == 0xd8.toByte &&
+        bytes(i + 2) == 0xff.toByte) sois += i
+      i += 1
+    }
+    // for each SOI, the span runs to the LAST EOI before the next SOI (or
+    // end) — nested thumbnails inside EXIF would otherwise truncate it
+    val spans = sois.zipAll(sois.drop(1), -1, bytes.length).collect {
+      case (s, limit) if s >= 0 =>
+        var e = math.min(limit, bytes.length) - 2
+        while (e > s && !(bytes(e) == 0xff.toByte && bytes(e + 1) == 0xd9.toByte)) e -= 1
+        (s, e + 2)
+    }.filter { case (s, e) => e - s > 4 }
+    spans.sortBy { case (s, e) => -(e - s) }.iterator
+      .take(8) // bound decode attempts on adversarial inputs
+      .flatMap { case (s, e) =>
+        try Option(ImageIO.read(new ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, s, e)))).map(fromBuffered)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .nextOption()
+  }
 
   def fromBuffered(img: BufferedImage): DecodedImage = {
     val w = img.getWidth; val h = img.getHeight

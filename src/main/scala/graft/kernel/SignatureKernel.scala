@@ -24,7 +24,7 @@ object SignatureKernel {
   def computeOne(row: ImageRow, sha: MessageDigest): Signature = {
     sha.reset()
     val contentHash = sha.digest(row.bytes)
-    val decoded = ImageCodec.decode(row.bytes, row.fmt, row.w, row.h)
+    val (decoded, status) = ImageCodec.decodeWithStatus(row.bytes, row.fmt, row.w, row.h)
     val minhash = MinHash.signature(row.caption)
     decoded match {
       case Some(d) if d.w >= Pdq.MinHashableDim && d.h >= Pdq.MinHashableDim =>
@@ -39,14 +39,18 @@ object SignatureKernel {
         Signature(row.image_id, 0L, contentHash, pixelHash,
           hs(0), hs(1), hs(2), hs(3), quality,
           low_conf = quality < MinQuality, variants = variants,
-          phash64 = ph, minhash = minhash, caption = row.caption, has_pdq = true)
+          phash64 = ph, phash_variants = PHash.dihedral(ph),
+          minhash = minhash, caption = row.caption, has_pdq = true,
+          fmt = row.fmt, decode_status = status)
       case _ =>
         // decode failure or sub-5px (pdqhash.rs:167-169): row keeps flowing,
         // matchable only via content hash
         Signature(row.image_id, 0L, contentHash, null,
           0L, 0L, 0L, 0L, 0, low_conf = true,
-          variants = Array.empty, phash64 = 0L, minhash = minhash,
-          caption = row.caption, has_pdq = false)
+          variants = Array.empty, phash64 = 0L, phash_variants = Array.empty,
+          minhash = minhash, caption = row.caption, has_pdq = false,
+          fmt = row.fmt,
+          decode_status = if (decoded.isDefined) "too_small" else status)
     }
   }
 

@@ -1,0 +1,103 @@
+package graft.lsh
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH-banded candidate generation over the 64-bit DCT pHash — the second
+ * grouping algorithm of the reference (`HammingHash for u64`,
+ * hamminghash.rs:23-41: 8 chunks × 8 bits, 256 buckets/chunk, default max
+ * dist MAX_SIMILARITY_64 = 15, hamminghash.rs:5).
+ *
+ * Same Spark shape as the 256-bit [[BandJoin]]: explode 8-bit chunks into
+ * (band_idx, band_val) keys, radius-split multi-probe masks between the
+ * join sides, self equi-join, codegen'd `bit_count(xor)` verify in-join.
+ * The probe side expands the 8 BITWISE dihedral variant hashes
+ * (phash.rs:242-255 — store-1/query-8, derived by bit transpose + parity
+ * sign flips, no pixel access), the index side holds originals.
+ *
+ * The low-quality gate (scanner.rs:1579-1594) applies unchanged: PDQ
+ * quality is the featurelessness signal for the image regardless of which
+ * hash is being banded, so low-confidence rows match exact-only here too.
+ */
+object BandJoin64 {
+  final val NumChunks = 8      // hamminghash.rs:25
+  final val BitsPerChunk = 8   // hamminghash.rs:39-41
+  final val DefaultThreshold = 15 // MAX_SIMILARITY_64, hamminghash.rs:5
+
+  /** 64-bit Hamming distance — single codegen'd bit_count. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** The 8 low-endian 8-bit chunks of a long column (hamminghash.rs:29-33). */
+  def chunksArray64(h: Column): Column =
+    array((0 until NumChunks).map { k =>
+      shiftrightunsigned(h, k * BitsPerChunk).bitwiseAND(lit(0xffL)).cast("int")
+    }: _*)
+
+  private def bandKeys(df: DataFrame, h: String, radius: Int): DataFrame =
+    df.select(col("*"),
+        posexplode(chunksArray64(col(h))).as(Seq("band_idx", "chunk")))
+      .withColumn("mask",
+        explode(lit(BandJoin.masksB(radius, BitsPerChunk).map(_.toInt))))
+      .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
+      .drop("chunk", "mask")
+
+  /**
+   * Fuzzy duplicate edges among confident rows (a < b, min dist per pair).
+   * `sig` needs: ord, phash64, phash_variants, low_conf, has_pdq.
+   */
+  def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold): DataFrame = {
+    require(threshold <= 63,
+      s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
+    val tol = threshold / NumChunks
+    // radius split (see BandJoin.bandMatches): probe side is 8× heavier
+    val rIdx = (0 to tol).minBy(r =>
+      BandJoin.maskCount(r, BitsPerChunk) +
+        8L * BandJoin.maskCount(tol - r, BitsPerChunk))
+    val rPrb = tol - rIdx
+
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+
+    val idx = bandKeys(
+      conf.select(col("ord"), col("phash64")), "phash64", rIdx)
+      .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
+        col("phash64").as("c_h"))
+
+    val prbBase = conf
+      .select(col("ord"), explode(col("phash_variants")).as("v_h"))
+    val prb = bandKeys(prbBase, "v_h", rPrb)
+      .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
+
+    // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
+    // estimate predates the 8-variant × 8-chunk × mask explosion
+    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val"))
+      .where(col("q_ord") =!= col("c_ord"))
+      .withColumn("dist", hamming64(col("v_h"), col("c_h")))
+      .where(col("dist") <= threshold)
+      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
+        greatest(col("q_ord"), col("c_ord")).as("b"))
+      .agg(min("dist").as("dist"))
+  }
+
+  /** Exact (distance-0) star edges for ALL decoded rows including
+    * low-quality ones — hub = min ord per identical hash, linear edge
+    * count (same construction as BandJoin.exactEdges). */
+  def exactEdges(sig: DataFrame): DataFrame = {
+    val withHash = sig.filter(col("has_pdq"))
+    val hubs = withHash.groupBy(col("phash64").as("p"))
+      .agg(min("ord").as("hub"))
+    val vars = withHash
+      .select(col("ord"), explode(col("phash_variants")).as("p"))
+    vars.hint("shuffle_merge").join(hubs, Seq("p"))
+      .where(col("ord") =!= col("hub"))
+      .select(least(col("ord"), col("hub")).as("a"),
+        greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
+      .distinct()
+  }
+
+  /** All verified duplicate edges (a < b, minimal dist per pair). */
+  def edges(sig: DataFrame, threshold: Int = DefaultThreshold): DataFrame =
+    fuzzyEdges(sig, threshold)
+      .unionByName(exactEdges(sig))
+      .groupBy("a", "b").agg(min("dist").as("dist"))
+}

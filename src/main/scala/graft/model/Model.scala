@@ -27,9 +27,12 @@ final case class Signature(
     low_conf: Boolean,              // quality < 50 ⇒ exact-match only (scanner.rs:1579-1594)
     variants: Array[Array[Long]],   // 8 dihedral hashes × 4 longs
     phash64: Long,                  // 64-bit DCT pHash (phash.rs)
+    phash_variants: Array[Long],    // 8 bitwise dihedral pHashes (phash.rs:242-255)
     minhash: Array[Int],            // caption MinHash signature
     caption: String,
-    has_pdq: Boolean                // false when decode failed or dims < 5px
+    has_pdq: Boolean,               // false when decode failed or dims < 5px
+    fmt: String,                    // input fmt (per-fmt decode metrics)
+    decode_status: String           // ok | too_small | error | unsupported
 )
 
 /** Verified duplicate edge (canonical ord_a < ord_b). */

@@ -22,7 +22,9 @@ object ImageQueries {
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
     if (corpusDir == null) {
-      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases"
+      // vN suffix = signature-schema version: bumping it invalidates the
+      // cached kernel checkpoint when Signature gains columns
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v2"
       val marker = new org.apache.hadoop.fs.Path(s"$dir/images/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) Synth.generate(spark, NBases, dir)
@@ -106,6 +108,19 @@ object ImageQueries {
       .withColumn("image_verified",
         (col("pdq_dist") <= Pipeline.DefaultThreshold).cast("int"))
       .orderBy("a", "b")
+  }
+
+  /** P11/P12 + J2-u64 — the pHash(u64) grouping mode over the real image
+    * corpus: BandJoin64 (8×8-bit chunks, bitwise dihedral probe variants,
+    * threshold 15 = MAX_SIMILARITY_64) → CC → group sizes. */
+  def qImgPhashGroups(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.lsh.BandJoin64.edges(sigs(spark),
+      graft.lsh.BandJoin64.DefaultThreshold)
+    ConnectedComponents.run(spark, edges)
+      .groupBy("comp")
+      .agg(count(lit(1)).cast("long").as("n"), min("id").as("min_ord"),
+        max("id").as("max_ord"))
+      .orderBy("comp")
   }
 
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */

@@ -537,8 +537,9 @@ object RelationalQueries {
        FROM part ORDER BY p_partkey"""
 
   // =========================================================================
-  // W3 — natural sort (digit runs numeric). Rows-only: the zero-pad key
-  // needs regex lookarounds, which DuckDB's RE2 lacks.
+  // W3 — natural sort (digit runs numeric). The oracle rebuilds the same
+  // zero-pad key without lookarounds: DuckDB regexp_extract_all splits into
+  // digit/non-digit runs, list_transform pads the digit runs.
   // =========================================================================
   def qNaturalSort(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(
@@ -548,6 +549,150 @@ object RelationalQueries {
       .withColumn("nat_rank", row_number().over(w).cast("long"))
       .orderBy("p_partkey")
   }
+  def sqlNaturalSort(dir: String): String =
+    s"""WITH keyed AS (
+         SELECT p_partkey::BIGINT AS p_partkey, p_name,
+           array_to_string(list_transform(
+             regexp_extract_all(lower(p_name), '[0-9]+|[^0-9]+'),
+             x -> CASE WHEN regexp_matches(x, '^[0-9]+$$')
+                       THEN lpad(x, 12, '0') ELSE x END), '') AS natkey
+         FROM part)
+       SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY natkey, p_partkey)::BIGINT AS nat_rank
+       FROM keyed ORDER BY p_partkey"""
+
+  // =========================================================================
+  // P11/J2-u64 — the pHash(u64) grouping mode: the REAL BandJoin64 operator
+  // (8×8-bit chunks, threshold 15 = MAX_SIMILARITY_64, hamminghash.rs:5,
+  // 23-41) over planted 64-bit hashes, then connected components. The
+  // oracle is an INDEPENDENT brute-force all-pairs Hamming join + recursive
+  // CC — equality also proves the banded probe's exhaustive recall.
+  // =========================================================================
+  private val PhashGroupIds = 2000
+  def qPhashGroups(spark: SparkSession, dir: String): DataFrame = {
+    val sig = rd(spark, dir, "events").where(col("event_id") < PhashGroupIds)
+      .select(col("event_id").cast("long").as("ord"),
+        plantedCol(col("event_id")).as("phash64"))
+      .withColumn("phash_variants", array(col("phash64")))
+      .withColumn("low_conf", lit(false))
+      .withColumn("has_pdq", lit(true))
+    val edges = graft.lsh.BandJoin64.edges(sig, graft.lsh.BandJoin64.DefaultThreshold)
+    ConnectedComponents.run(spark, edges)
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+      .orderBy("id")
+  }
+  def sqlPhashGroups(dir: String): String =
+    s"""WITH RECURSIVE hashes AS (
+         SELECT event_id::BIGINT AS id, $plantedSql AS h
+         FROM events WHERE event_id < $PhashGroupIds),
+       edges AS (SELECT x.id AS a, y.id AS b FROM hashes x JOIN hashes y
+         ON x.id < y.id AND bit_count(xor(x.h, y.h)) <= 15),
+       sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n)
+       SELECT n::BIGINT AS id, min(c)::BIGINT AS comp FROM walk GROUP BY n ORDER BY id"""
+
+  // =========================================================================
+  // A6 — group max_dist: max over members of min-over-pivot-variants
+  // Hamming distance to the pivot (scanner.rs:2219-2241), relationally over
+  // the planted hashes so the driver's hash gate covers it. The pivot is
+  // the min-id member; its "dihedral variants" are simulated as fixed
+  // XOR-isometries of the pivot hash.
+  // =========================================================================
+  private val PivotMasks = Seq(0L, 3L, 5L << 8, 9L << 16)
+  def qGroupMaxDist(spark: SparkSession, dir: String): DataFrame = {
+    val h = plantedHashes(spark, dir)
+    val m = qConnectedComponents(spark, dir).join(h, "id")
+    val pivots = m.groupBy("comp").agg(min("id").as("pid"))
+      .join(h.select(col("id").as("pid"), col("h").as("ph")), "pid")
+    m.join(pivots.select("comp", "ph"), "comp")
+      .withColumn("dist", least(PivotMasks.map(mask =>
+        bit_count(col("h").bitwiseXOR(col("ph").bitwiseXOR(lit(mask))))): _*))
+      .groupBy("comp")
+      .agg(count(lit(1)).cast("long").as("n"),
+        max("dist").cast("long").as("max_dist"))
+      .select(col("comp").cast("long").as("comp"), col("n"), col("max_dist"))
+      .orderBy("comp")
+  }
+  def sqlGroupMaxDist(dir: String): String = {
+    val distExprs = PivotMasks.map(mask =>
+      s"bit_count(xor(m.h, xor(p.ph, $mask)))").mkString("least(", ", ", ")")
+    s"""WITH RECURSIVE ${sqlEdgesCte(dir)},
+       sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n),
+       members AS (SELECT comps.id, comps.comp, hashes.h
+         FROM comps JOIN hashes ON hashes.id = comps.id),
+       pivots AS (SELECT comp, min(id) AS pid FROM members GROUP BY comp),
+       pivoth AS (SELECT pivots.comp, members.h AS ph
+         FROM pivots JOIN members ON members.id = pivots.pid)
+       SELECT m.comp::BIGINT AS comp, count(*)::BIGINT AS n,
+         max($distExprs)::BIGINT AS max_dist
+       FROM members m JOIN pivoth p ON p.comp = m.comp
+       GROUP BY m.comp ORDER BY comp"""
+  }
+
+  // =========================================================================
+  // J2 high-threshold tier — R=3 multi-probe (threshold 12 over 4×16-bit
+  // chunks ⇒ tol 3, the scanner.rs:1755-1767 tier). Hashes are planted so
+  // some pairs differ by exactly 3 bits in EVERY chunk — findable only by
+  // the radius-3 masks. The oracle is brute force; equality proves the
+  // R=3 tier's exhaustive recall (hamminghash.rs:283-332 at Spark level).
+  // =========================================================================
+  private val R3Ids = 1998
+  private val R3Threshold = 12
+  /** member m of cluster id/6: m=0 base; m=1..4 flip bits {1,5,9} of chunk
+    * m-1 (pair dists 3/6); m=5 flips them in all 4 chunks (dist-12 pair vs
+    * base with per-chunk profile 3,3,3,3 — the R=3-only case). */
+  private def r3Col(id: Column): Column = {
+    val base = h64Col(floor(id / 6).cast("long"))
+    val m = id % 6
+    val spread = when(m === 0, lit(0L))
+      .when(m === 5, lit(0x0222022202220222L))
+      .otherwise(expr(
+        "shiftleft(CAST(546 AS BIGINT), CAST((event_id % 6 - 1) * 16 AS INT))"))
+    base.bitwiseXOR(spread)
+  }
+  private def r3Sql: String =
+    s"""xor(${h64Sql("(event_id // 6)")},
+       CASE WHEN event_id % 6 = 0 THEN 0
+            WHEN event_id % 6 = 5 THEN 153687682371944994
+            ELSE (546::BIGINT << (((event_id % 6) - 1) * 16)::INT) END)"""
+  def qBandJoinR3(spark: SparkSession, dir: String): DataFrame = {
+    val h = rd(spark, dir, "events").where(col("event_id") < R3Ids)
+      .select(col("event_id").cast("long").as("id"), r3Col(col("event_id")).as("h"))
+    // radius split (1,2): covers per-chunk distance ≤ 3 by triangle
+    // inequality, exactly like BandJoin.bandMatches
+    def keys(df: DataFrame, radius: Int): DataFrame =
+      df.select(col("*"),
+          posexplode(array((0 until 4).map(k => chunkCol(col("h"), k)): _*))
+            .as(Seq("band_idx", "chunk")))
+        .withColumn("mask", explode(lit(graft.lsh.BandJoin.masksB(radius, 16))))
+        .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
+    val a = keys(h, 1).select(col("id").as("a"), col("h").as("ha"),
+      col("band_idx"), col("band_val"))
+    val b = keys(h, 2).select(col("id").as("b"), col("h").as("hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"))
+      .where(col("dist") <= R3Threshold)
+      .distinct()
+      .orderBy("a", "b")
+  }
+  def sqlBandJoinR3(dir: String): String =
+    s"""WITH hashes AS (SELECT event_id::BIGINT AS id, $r3Sql AS h
+         FROM events WHERE event_id < $R3Ids)
+       SELECT x.id AS a, y.id AS b, bit_count(xor(x.h, y.h))::BIGINT AS dist
+       FROM hashes x JOIN hashes y ON x.id < y.id
+       WHERE bit_count(xor(x.h, y.h)) <= $R3Threshold
+       ORDER BY a, b"""
 
   // =========================================================================
   // P16 — EXIF-style timestamp round-trip parse

@@ -129,4 +129,91 @@ class LshSpec extends AnyFunSuite {
     val edges = BandJoin.edges(sigFrame(Seq(a, b)), threshold = 40).collect()
     assert(edges.length == 1 && edges(0).getInt(2) == 12)
   }
+
+  test("infeasible width/threshold guard fires before mask materialization") {
+    // ADVICE r1: chunkBits=64 + threshold 63 → tol 15 → ~1e13 masks; must
+    // throw a clear require, never hang building a lit array
+    val r = new java.util.Random(3)
+    val sig = sigFrame(Seq(randHash(r), randHash(r)))
+    val e = intercept[IllegalArgumentException] {
+      BandJoin.edges(sig, threshold = 63, chunkBits = 64).collect()
+    }
+    assert(e.getMessage.contains("masks"), e.getMessage)
+    // count is exact where it fits (ball volumes), saturates where it doesn't
+    def binom(n: Int, k: Int): BigInt =
+      (0 until k).map(i => BigInt(n - i)).product /
+        (1 to math.max(k, 1)).map(BigInt(_)).product
+    assert(BandJoin.maskCount(3, 16) == (0 to 3).map(binom(16, _)).sum.toLong)
+    assert(BandJoin.maskCount(5, 32) == (0 to 5).map(binom(32, _)).sum.toLong)
+    assert(BandJoin.maskCount(15, 64) == (0 to 15).map(binom(64, _)).sum.toLong ||
+      BandJoin.maskCount(15, 64) == Long.MaxValue)
+  }
+
+  // --- u64 pHash grouping mode (BandJoin64, hamminghash.rs:23-41) ---
+
+  private def flipBits64(h: Long, r: java.util.Random, n: Int): Long = {
+    var out = h
+    val picked = scala.collection.mutable.Set[Int]()
+    while (picked.size < n) picked += r.nextInt(64)
+    picked.foreach(b => out ^= (1L << b))
+    out
+  }
+
+  private def sigFrame64(hashes: Seq[Long], lowConf: Set[Int] = Set.empty,
+                         dihedral: Boolean = false) = {
+    import spark.implicits._
+    hashes.zipWithIndex.map { case (h, i) =>
+      val variants = if (dihedral) graft.kernel.PHash.dihedral(h) else Array(h)
+      (i.toLong, h, variants, lowConf.contains(i), true)
+    }.toDF("ord", "phash64", "phash_variants", "low_conf", "has_pdq")
+  }
+
+  test("u64 planted cluster: 5 near hashes in 4000 random ones group (max dist 15)") {
+    // hamminghash.rs:335-412 at the 64-bit width: default threshold
+    // MAX_SIMILARITY_64 = 15, 8×8-bit chunks
+    val r = new java.util.Random(64)
+    val n = 4000
+    val hashes = scala.collection.mutable.ArrayBuffer.fill(n)(r.nextLong())
+    val target = r.nextLong()
+    val planted = Seq(target, flipBits64(target, r, 2), flipBits64(target, r, 5),
+      flipBits64(target, r, 9), flipBits64(target, r, 15))
+    val slots = scala.collection.mutable.Set[Int]()
+    while (slots.size < 5) slots += r.nextInt(n)
+    val slotSeq = slots.toSeq
+    slotSeq.zip(planted).foreach { case (s, h) => hashes(s) = h }
+
+    val edges = graft.lsh.BandJoin64.edges(sigFrame64(hashes.toSeq))
+    val comps = graft.cc.ConnectedComponents.run(spark, edges).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val compIds = slotSeq.map(s => comps.get(s.toLong))
+    assert(compIds.forall(_.isDefined), s"planted rows missing: $compIds")
+    assert(compIds.distinct.size == 1, s"planted rows split: $compIds")
+  }
+
+  test("u64 dihedral probe: a rotated pHash groups with its original") {
+    // the bitwise rot90 variant (phash.rs:150-180) must be found through
+    // the variant-expanded probe side even though the stored hashes differ
+    val r = new java.util.Random(90)
+    val h = r.nextLong()
+    val rotated = graft.kernel.PHash.rotate90(h)
+    val noise = Seq.fill(500)(r.nextLong())
+    val sig = sigFrame64(Seq(h, rotated) ++ noise, dihedral = true)
+    val edges = graft.lsh.BandJoin64.edges(sig).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
+    assert(edges.exists(e => e._1 == 0L && e._2 == 1L && e._3 == 0),
+      s"rot90 pair not found at dist 0: ${edges.take(5).toSeq}")
+  }
+
+  test("u64 low-confidence rows only match exactly") {
+    val r = new java.util.Random(12)
+    val base = r.nextLong()
+    val near = flipBits64(base, r, 4)
+    val sig = sigFrame64(Seq(base, near, base, flipBits64(base, r, 3)),
+      lowConf = Set(0, 1, 2))
+    val edges = graft.lsh.BandJoin64.edges(sig).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(edges.contains((0L, 2L)), "exact dup of low-conf row must match")
+    assert(!edges.exists(e => e == ((0L, 1L)) || e == ((1L, 2L))),
+      "fuzzy match against low-conf rows must be rejected")
+  }
 }

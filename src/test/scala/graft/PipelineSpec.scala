@@ -148,6 +148,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("phash algorithm mode matches its reference-semantics oracle") {
+    // the reference's second grouping algorithm (HammingHash<u64>,
+    // hamminghash.rs:23-41): 8×8-bit chunks, threshold MAX_SIMILARITY_64=15,
+    // bitwise dihedral probe variants (phash.rs:242-255)
+    import spark.implicits._
+    val phThreshold = graft.lsh.BandJoin64.DefaultThreshold
+    val sha = MessageDigest.getInstance("SHA-256")
+    val sigs = rows.map { r =>
+      SignatureKernel.computeOne(
+        ImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash), sha)
+    }
+    val n = sigs.length
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = { var x = i; while (x != parent(x)) x = parent(x); x }
+    def union(i: Int, j: Int): Unit = {
+      val (a, b) = (find(i), find(j)); if (a != b) parent(a) = b
+    }
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val si = sigs(i); val sj = sigs(j)
+      if (si.has_pdq && sj.has_pdq) {
+        val baseLimit = if (si.low_conf) 0 else phThreshold
+        val limit = if (sj.low_conf) 0 else baseLimit
+        val minDist = math.min(
+          si.phash_variants.map(v => java.lang.Long.bitCount(v ^ sj.phash64)).min,
+          sj.phash_variants.map(v => java.lang.Long.bitCount(v ^ si.phash64)).min)
+        if (minDist <= limit) union(i, j)
+      }
+    }
+    val oracle = (0 until n).groupBy(find).values.filter(_.size > 1).flatMap { g =>
+      val ids = g.map(i => sigs(i).image_id).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-phmode").toString
+    val images = rows
+      .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val grouped = Pipeline.run(spark, images, s"$dir/work", phThreshold,
+      algorithm = "phash")
+    val pipe = Pipeline.dupPairs(grouped).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(oracle.nonEmpty, "phash oracle found no duplicate pairs")
+    val recall = oracle.intersect(pipe).size.toDouble / oracle.size
+    val precision = if (pipe.isEmpty) 1.0 else oracle.intersect(pipe).size.toDouble / pipe.size
+    info(s"phash oracle=${oracle.size} pipeline=${pipe.size} " +
+      f"recall=$recall%.4f precision=$precision%.4f")
+    assert(recall >= 0.99, f"phash recall $recall%.4f < 0.99")
+    assert(precision >= 0.99, f"phash precision $precision%.4f < 0.99")
+  }
+
+  test("per-fmt decode metrics: unsupported vs error vs too_small split out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmtmetrics").toString
+    val ok = rows.head
+    val images = Seq(
+      (ok.image_id, ok.bytes, ok.w, ok.h, ok.fmt, ok.caption, ok.phash),
+      ("bad-jxl", Array[Byte](1, 2, 3), 10, 10, "jxl", "c", 0L),
+      ("bad-jpg", Array[Byte](9, 9, 9, 9), 10, 10, "jpg", "c", 0L),
+      ("tiny", Array.fill[Byte](9)(7), 3, 3, "gray-raw", "c", 0L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    Pipeline.run(spark, images, s"$dir/work", Threshold)
+    val metrics = spark.read.parquet(s"$dir/work/_metrics")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics("images") == 4.0)
+    assert(metrics("decode_failures") == 3.0)
+    assert(metrics("decode:jxl:unsupported") == 1.0, metrics.toString)
+    assert(metrics("decode:jpg:error") == 1.0, metrics.toString)
+    assert(metrics("decode:gray-raw:too_small") == 1.0, metrics.toString)
+  }
+
   test("checkpoint resume is idempotent (no recompute on second run)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
