@@ -114,8 +114,15 @@ object Bench {
     // min-of-k at BOTH levels: the shared host's neighbor noise hits a
     // 4-core child proportionally harder than a 16-core one, and a single
     // noisy N shot shows up as nonsense super-linear efficiency
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+    val loadBefore = loadavg()
     val (n8, t8) = runIsolated(4, corpusDir, s"$tmp/run_n", reps = 2)
     val (n32, t32) = runIsolated(16, corpusDir, s"$tmp/run_4n", reps = 3)
+    val loadAfter = loadavg()
 
     val tp8 = n8 / t8
     val tp32 = n32 / t32
@@ -127,6 +134,12 @@ object Bench {
     val total = queryTimes.map(_._2).sum + t8 + t32
     val scaling = f"""{"images":$n32,"n_cores":4,"img_per_sec_n":$tp8%.1f,""" +
       f""""img_per_sec_4n":$tp32%.1f,"efficiency":$efficiency%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    // corpus + host-load provenance so round-over-round deltas are
+    // attributable (VERDICT r1 #10): the shared host's neighbors move
+    // wall-clock up to 2×; loadavg bounds how noisy this run's window was
+    val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
+      s""""mix":"synth rowsForBase: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif-embedded jpgs)"}"""
+    val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"corpus":$corpusMeta,"loadavg":$load}""")
   }
 }

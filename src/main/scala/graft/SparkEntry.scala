@@ -67,7 +67,8 @@ object SparkEntry {
     "q_img_dup_pairs" -> (IQ.qImgDupPairs _),
     "q_img_caption_candidates" -> (IQ.qImgCaptionCandidates _),
     "q_img_decode_meta" -> (IQ.qImgDecodeMeta _),
-    "q_img_phash_groups" -> (IQ.qImgPhashGroups _)
+    "q_img_phash_groups" -> (IQ.qImgPhashGroups _),
+    "q_img_exif" -> (IQ.qImgExif _)
   )
 
   def oracleSql: Map[String, String] = {

@@ -2,7 +2,6 @@ package graft.groups
 
 import graft.lsh.BandJoin
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,45 +21,75 @@ import org.apache.spark.sql.functions._
  *    desc (W1, scanner.rs:1561-1574)
  */
 object Groups {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Components at or above this size are logged loudly before analytics
+    * run. Dup groups are small by construction (they only exist where
+    * near-dup edges exist), so a giant component means a misconfigured
+    * threshold or degenerate corpus — the analytics still complete
+    * (aggregates below are groupBy-based, partial-aggregated, never a
+    * one-task-per-component window sort), but silently grinding through
+    * it would hide the misconfiguration. */
+  final val DefaultGiantWarnSize = 1000000L
 
   /** sig: full signatures; comps: (id, comp). Returns one row per group
-    * member with group-level analytics attached. */
-  def assemble(sig: DataFrame, comps: DataFrame): DataFrame = {
+    * member with group-level analytics attached.
+    *
+    * Shape note (round-2): all group-level statistics are groupBy
+    * aggregates joined back to the members, NOT `Window.partitionBy(comp)`
+    * — a window sorts every member of a component in a single task, which
+    * turns one pathological giant component into a straggler/OOM; groupBy
+    * combines map-side and distributes. */
+  def assemble(sig: DataFrame, comps: DataFrame,
+               giantWarnSize: Long = DefaultGiantWarnSize): DataFrame = {
     val members = sig.join(comps, sig("ord") === comps("id"), "inner").drop("id")
 
-    val wg = Window.partitionBy("comp")
-    val wContent = Window.partitionBy("comp", "content_hash")
-    val wPixel = Window.partitionBy("comp", "pixel_hash")
+    // group sizes — also the giant-component guard (A2 scale audit)
+    val sizes = members.groupBy("comp")
+      .agg(count(lit(1)).as("group_size"))
+    if (giantWarnSize > 0) {
+      val giants = sizes.where(col("group_size") >= giantWarnSize)
+        .orderBy(col("group_size").desc).limit(10).collect()
+      if (giants.nonEmpty)
+        log.warn("giant components detected (threshold misconfiguration?): " +
+          giants.map(r => s"comp=${r.get(0)} size=${r.get(1)}").mkString(", "))
+    }
 
-    val withCounts = members
-      .withColumn("group_size", count(lit(1)).over(wg))
-      .withColumn("bit_count_dup", count(lit(1)).over(wContent))
-      .withColumn("pixel_count_dup",
-        when(col("pixel_hash").isNull, lit(0L)).otherwise(count(lit(1)).over(wPixel)))
-      .withColumn("n_distinct_content",
-        size(collect_set(col("content_hash")).over(wg)))
-      .withColumn("has_bit_dup", max(col("bit_count_dup") > 1).over(wg))
+    // A4: per-(comp, content_hash) duplicate counts; group rollup for A7
+    val contentCounts = members.groupBy("comp", "content_hash")
+      .agg(count(lit(1)).as("bit_count_dup"))
+    val contentRollup = contentCounts.groupBy("comp")
+      .agg(count(lit(1)).cast("int").as("n_distinct_content"),
+        max(col("bit_count_dup") > 1).as("has_bit_dup"))
+    // A5: per-(comp, pixel_hash) counts (null pixel hashes stay 0)
+    val pixelCounts = members.where(col("pixel_hash").isNotNull)
+      .groupBy("comp", "pixel_hash")
+      .agg(count(lit(1)).as("pixel_count_dup"))
 
-    // pivot = lowest-ord member with features; its dihedral variants
-    val pivots = withCounts
-      .where(col("has_pdq"))
-      .withColumn("rn", row_number().over(Window.partitionBy("comp").orderBy("ord")))
-      .where(col("rn") === 1)
-      .select(col("comp").as("p_comp"), col("variants").as("pivot_variants"))
+    // A6 pivot = lowest-ord member with features; its dihedral variants
+    val pivots = members.where(col("has_pdq"))
+      .groupBy("comp")
+      .agg(expr("min_by(variants, ord)").as("pivot_variants"))
 
     val hs = Seq("h0", "h1", "h2", "h3")
-    val withDist = withCounts
-      .join(pivots, withCounts("comp") === pivots("p_comp"), "left")
-      .drop("p_comp")
+    val withDist = members
+      .join(sizes, Seq("comp"))
+      .join(contentRollup, Seq("comp"))
+      .join(contentCounts, Seq("comp", "content_hash"))
+      .join(pixelCounts, Seq("comp", "pixel_hash"), "left")
+      .withColumn("pixel_count_dup", coalesce(col("pixel_count_dup"), lit(0L)))
+      .join(pivots, Seq("comp"), "left")
       .withColumn("dist_to_pivot",
         when(!col("has_pdq") || col("pivot_variants").isNull, lit(null))
           .otherwise(array_min(transform(col("pivot_variants"),
             v => BandJoin.hammingCols(hs.map(col), (0 until 4).map(v.getItem(_)))))))
       .drop("pivot_variants")
 
+    val maxDist = withDist.groupBy("comp")
+      .agg(coalesce(max(col("dist_to_pivot")), lit(0)).as("max_dist"))
+
     withDist
-      .withColumn("max_dist",
-        coalesce(max(col("dist_to_pivot")).over(wg), lit(0)))
+      .join(maxDist, Seq("comp"))
       .withColumn("status",
         when(col("n_distinct_content") === 1, lit("AllIdentical"))
           .when(col("has_bit_dup"), lit("SomeIdentical"))

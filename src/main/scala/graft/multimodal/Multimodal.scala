@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.kernel.{ImageCodec, Pdq}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed metadata for an opaque media blob. */
@@ -102,14 +102,56 @@ object Multimodal {
     }
   }
 
-  /** Brute-force cosine near-dup over the feature column — shares the
-    * shape of the embedding ANN queries (zip_with dot product). */
-  def cosinePairs(feats: DataFrame, minCos: Double): DataFrame = {
-    val a = feats.where(col("ok"))
-      .select(col("media_id").as("a"), col("feature").as("fa"))
-    val b = feats.where(col("ok"))
-      .select(col("media_id").as("b"), col("feature").as("fb"))
-    a.join(b, col("a") < col("b"))
+  /** Seeded hyperplanes for sign-random-projection bucketing:
+    * tables × planes gaussian vectors of FeatureDim (driver-tiny,
+    * broadcast as literals inside the expression tree). */
+  private def hyperplanes(planes: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(tables, planes, FeatureDim)(r.nextGaussian())
+  }
+
+  /**
+   * Cosine near-dup over the feature column — BUCKETED, never all-pairs
+   * (the round-1 brute-force theta join was a 10⁹-row non-starter; this is
+   * the qAnnLshBuckets/qEmbedNearDup shape). Hyperplane LSH: per table,
+   * the bucket key packs the sign bits of `planes` random projections;
+   * candidates meet in an equi-join on (table, bucket) — cost follows
+   * bucket occupancy, not n² — and are verified with the EXACT cosine
+   * inside the join. Multi-table OR-construction recovers pairs a single
+   * table splits; rows per table are linear (n × tables, no mask blowup).
+   *
+   * Collision probability per table: (1 − θ/π)^planes — at cos ≥ 0.95
+   * (θ ≤ 18°) and 8 planes ≈ 0.43/table, 8 tables ⇒ miss < 1%; real
+   * near-dups (cos ≥ 0.99) collide with ≥ 1−10⁻⁵. MultimodalSpec gates
+   * bucketed == brute-force on the fixture corpus.
+   */
+  def cosinePairs(feats: DataFrame, minCos: Double, planes: Int = 8,
+                  tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, tables, seed)
+    val ok = feats.where(col("ok"))
+      .select(col("media_id"), col("feature"))
+
+    // bucket key per (row, table): Σ_j [dot(f, plane_tj) > 0] << j,
+    // all in built-in array expressions (zip_with/aggregate) — codegen'd
+    def dotLit(f: Column, plane: Array[Double]): Column =
+      aggregate(zip_with(f, lit(plane), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    def bucketKey(f: Column, t: Int): Column =
+      (0 until planes).map { j =>
+        when(dotLit(f, hp(t)(j)) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val keyed = ok.select(col("media_id"), col("feature"),
+      posexplode(array((0 until tables).map(t =>
+        bucketKey(col("feature"), t)): _*)).as(Seq("table", "bucket")))
+
+    val a = keyed.select(col("media_id").as("a"), col("feature").as("fa"),
+      col("table"), col("bucket"))
+    val b = keyed.select(col("media_id").as("b"), col("feature").as("fb"),
+      col("table"), col("bucket"))
+    // both sides scale with n — keep it a shuffled join on the bucket key
+    a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
+      .where(col("a") < col("b"))
       .withColumn("dot", aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v))
       .withColumn("na", aggregate(transform(col("fa"), x => x * x),
@@ -118,6 +160,7 @@ object Multimodal {
         lit(0.0), (acc, v) => acc + v))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") >= col("na") * col("nb") * (minCos * minCos))
-      .select("a", "b", "dot")
+      // a pair can meet in several tables — one row per pair
+      .groupBy("a", "b").agg(max("dot").as("dot"))
   }
 }

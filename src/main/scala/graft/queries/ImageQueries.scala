@@ -22,9 +22,10 @@ object ImageQueries {
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
     if (corpusDir == null) {
-      // vN suffix = signature-schema version: bumping it invalidates the
-      // cached kernel checkpoint when Signature gains columns
-      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v2"
+      // vN suffix = corpus/schema version: bumping it invalidates the
+      // cached corpus + kernel checkpoint when Signature gains columns or
+      // Synth output changes (v3: EXIF embedded in JPEG rows)
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v3"
       val marker = new org.apache.hadoop.fs.Path(s"$dir/images/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) Synth.generate(spark, NBases, dir)
@@ -121,6 +122,20 @@ object ImageQueries {
       .agg(count(lit(1)).cast("long").as("n"), min("id").as("min_ord"),
         max("id").as("max_ord"))
       .orderBy("comp")
+  }
+
+  /** S8/P15/P16 off REAL bytes — EXIF parsed from the JPEG APP1 segment
+    * (kernel/Exif.scala), timestamps re-parsed and GPS DMS already decimal;
+    * proves the byte-level parser against the embedded fixture values. */
+  def qImgExif(spark: SparkSession, dir: String): DataFrame = {
+    val d = corpus(spark)
+    val feats = graft.kernel.ExifFeatures.features(spark, Synth.readImages(spark, d))
+    feats
+      .select(col("image_id"), col("has_exif").cast("int").as("has_exif"),
+        col("orientation"), col("exif_str"), col("exif_ts"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        to_timestamp(col("exif_str"), "yyyy:MM:dd HH:mm:ss").as("parsed_ts"))
+      .orderBy("image_id")
   }
 
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */

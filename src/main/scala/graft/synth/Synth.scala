@@ -420,12 +420,30 @@ object Synth {
     PHash.hashGray(gray, d.w, d.h)
   }
 
+  /** Deterministic EXIF for a row: orientation/timestamp/GPS derived from
+    * (group, variant) so the parser (kernel/Exif.scala) is exercised on
+    * real JPEG bytes and round-trip-checkable (S8). */
+  private[graft] def exifFor(group: Long, variant: String): graft.kernel.ExifData = {
+    val orientation = (math.abs(variant.hashCode) % 8) + 1
+    val epoch = 1500000000L + group * 86400L + (math.abs(variant.hashCode) % 86400)
+    val dto = java.time.LocalDateTime
+      .ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy:MM:dd HH:mm:ss"))
+    val lat = -60.0 + (group % 120L).toDouble + 0.25
+    val lon = -150.0 + ((group * 7L) % 300L).toDouble + 0.5
+    graft.kernel.ExifData(Some(orientation), Some(dto),
+      graft.kernel.Exif.parseExifTimestamp(dto), Some(lat), Some(lon), Map.empty)
+  }
+
   private def encRow(id: String, d: DecodedImage, fmt: String, cap: String,
                      group: Long, variant: String): SynthRow = {
     val bytes = fmt match {
       case "png" => ImageCodec.encodePng(d)
-      case "jpg" => ImageCodec.encodeJpeg(d, 0.70f)
-      case "jpg90" => ImageCodec.encodeJpeg(d, 0.90f)
+      case "jpg" | "jpg90" =>
+        val jpeg = ImageCodec.encodeJpeg(d, if (fmt == "jpg") 0.70f else 0.90f)
+        val ex = exifFor(group, variant)
+        graft.kernel.Exif.spliceIntoJpeg(jpeg, graft.kernel.Exif.buildApp1(
+          ex.orientation.get, ex.dateTimeOriginal.get, ex.lat, ex.lon))
       case "gray-raw" => grayRawBytes(d)
     }
     val storedFmt = if (fmt == "jpg90") "jpg" else fmt

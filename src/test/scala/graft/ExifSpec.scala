@@ -1,0 +1,105 @@
+package graft
+
+import graft.kernel.{Exif, ImageCodec}
+import graft.synth.Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S8 gate: EXIF parsed from real image BYTES — writer/parser round trip,
+  * big-endian path, and the Synth-embedded fixtures (scanner.rs:107-192 +
+  * exif_types.rs semantics). */
+class ExifSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def jpegOf(seed: Int): Array[Byte] = {
+    val argb = Array.tabulate(64 * 48) { i =>
+      val x = i % 64; val y = i / 64
+      0xff000000 | (((x * 3 + seed) % 256) << 16) | (((y * 5) % 256) << 8) | ((x + y) % 256)
+    }
+    ImageCodec.encodeJpeg(graft.kernel.DecodedImage(64, 48, argb), 0.8f)
+  }
+
+  test("APP1 round trip: all orientations, timestamp, GPS in 4 hemispheres") {
+    for (o <- 1 to 8) {
+      val dto = f"2019:07:${o}%02d 08:30:1$o"
+      val (lat, lon) = o match {
+        case 1 => (21.2864, -157.8399) // NW (the Kaanapali-style fixture)
+        case 2 => (-33.8688, 151.2093) // SE
+        case 3 => (51.5074, -0.1278)
+        case 4 => (-54.8019, -68.3030) // SW
+        case _ => (o * 7.123456, -o * 11.654321)
+      }
+      val jpeg = Exif.spliceIntoJpeg(jpegOf(o),
+        Exif.buildApp1(o, dto, Some(lat), Some(lon)))
+      val parsed = Exif.fromJpeg(jpeg)
+      assert(parsed.isDefined, s"no EXIF parsed at orientation $o")
+      val e = parsed.get
+      assert(e.orientation.contains(o))
+      assert(e.dateTimeOriginal.contains(dto))
+      assert(e.timestamp.contains(Exif.parseExifTimestamp(dto).get))
+      assert(math.abs(e.lat.get - lat) < 1e-6, s"lat ${e.lat} != $lat")
+      assert(math.abs(e.lon.get - lon) < 1e-6, s"lon ${e.lon} != $lon")
+      assert(e.tags.contains(Exif.TagMake))
+      // decode is unaffected by the spliced segment
+      val d0 = ImageCodec.decode(jpegOf(o), "jpg", 64, 48).get
+      val d1 = ImageCodec.decode(jpeg, "jpg", 64, 48).get
+      assert(d0.argb.sameElements(d1.argb), "splice changed decoded pixels")
+    }
+  }
+
+  test("big-endian (MM) TIFF block parses") {
+    // minimal MM block: header + one IFD with Orientation=6
+    val b = java.nio.ByteBuffer.allocate(26)
+    b.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    b.putShort(1) // one entry
+    b.putShort(0x0112).putShort(3).putInt(1).putShort(6).putShort(0)
+    b.putInt(0)   // next IFD
+    val arr = b.array()
+    val parsed = Exif.parseTiff(arr, 0, arr.length)
+    assert(parsed.isDefined && parsed.get.orientation.contains(6))
+  }
+
+  test("JPEGs without APP1 and non-JPEGs parse to None") {
+    assert(Exif.fromJpeg(jpegOf(1)).isEmpty) // plain encoder emits no EXIF
+    assert(Exif.fromJpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Exif.fromJpeg(ImageCodec.encodePng(
+      graft.kernel.DecodedImage(8, 8, new Array[Int](64)))).isEmpty)
+  }
+
+  test("Synth JPEG rows carry parseable EXIF matching the deterministic fixture") {
+    val rows = (0L until 12L).flatMap(Synth.rowsForBase).filter(_.fmt == "jpg")
+    assert(rows.nonEmpty, "no jpg rows in synth sample")
+    var checked = 0
+    rows.foreach { r =>
+      val want = Synth.exifFor(r.group_id, r.variant)
+      val got = Exif.fromJpeg(r.bytes)
+      assert(got.isDefined, s"${r.image_id}: no EXIF in synth JPEG")
+      assert(got.get.orientation == want.orientation, r.image_id)
+      assert(got.get.timestamp == want.timestamp, r.image_id)
+      assert(math.abs(got.get.lat.get - want.lat.get) < 1e-6, r.image_id)
+      assert(math.abs(got.get.lon.get - want.lon.get) < 1e-6, r.image_id)
+      checked += 1
+    }
+    info(s"checked $checked synth JPEGs")
+  }
+
+  test("ExifFeatures kernel extracts over a DataFrame (S8 as an operator)") {
+    import spark.implicits._
+    val rows = (0L until 8L).flatMap(Synth.rowsForBase)
+    val images = rows
+      .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val feats = graft.kernel.ExifFeatures.features(spark, images).collect()
+    val byId = feats.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val f = byId(r.image_id)
+      if (r.fmt == "jpg") {
+        assert(f.getBoolean(1), s"${r.image_id}: has_exif false for jpg")
+        val want = Synth.exifFor(r.group_id, r.variant)
+        assert(f.getInt(2) == want.orientation.get, r.image_id)
+        assert(f.getLong(4) == want.timestamp.get, r.image_id)
+      } else {
+        assert(!f.getBoolean(1), s"${r.image_id}: unexpected EXIF for ${r.fmt}")
+      }
+    }
+  }
+}
