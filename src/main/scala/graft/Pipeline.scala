@@ -68,11 +68,15 @@ object Pipeline {
     * (256-bit, the reference default) or "phash" (64-bit DCT pHash via
     * [[graft.lsh.BandJoin64]], HammingHash<u64> semantics — pass a
     * threshold ≤ 15, hamminghash.rs:5). */
+  /** `phashChunkBits`: 8 = reference parity (hamminghash.rs:39-41), 16 =
+    * the n≥10⁶ setting (identical edges, ~10× less collision volume —
+    * measured in MillionBench phash vs phash16). */
   def run(spark: SparkSession, images: DataFrame, workDir: String,
           threshold: Int = DefaultThreshold,
           registryPath: Option[String] = None,
           chunkBits: Int = graft.lsh.BandJoin.BitsPerChunk,
-          algorithm: String = "pdq"): DataFrame = {
+          algorithm: String = "pdq",
+          phashChunkBits: Int = graft.lsh.BandJoin64.BitsPerChunk): DataFrame = {
     require(algorithm == "pdq" || algorithm == "phash",
       s"unknown algorithm '$algorithm' (pdq | phash)")
     val ckpt = new Ckpt(spark, workDir)
@@ -96,7 +100,8 @@ object Pipeline {
     }
 
     val (edges, edgesHit) = ckpt.stage("edges")(
-      if (algorithm == "phash") graft.lsh.BandJoin64.edges(sig, threshold)
+      if (algorithm == "phash")
+        graft.lsh.BandJoin64.edges(sig, threshold, phashChunkBits)
       else BandJoin.edges(sig, threshold, chunkBits = chunkBits))
     if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)
 

@@ -89,9 +89,15 @@ object ImageCodec {
             case Some(img) => (Some(img), StatusOk)
             case None => (None, StatusError)
           }
-        // JXL / PDF / HEIC decode tiers (scanner.rs:553-708): codecs
-        // absent in this environment — plumbing kept, decode stubbed.
-        case _ => (None, StatusUnsupported)
+        // generic guessed-format fallback (S5, scanner.rs:713-735): ImageIO
+        // sniffs the actual magic bytes regardless of the claimed fmt, so a
+        // mislabeled-but-decodable row still decodes; memory is bounded by
+        // the task sandbox (the Spark analog of the reference's per-thread
+        // decode limit). Genuinely codec-less formats here — JXL / PDF /
+        // HEIC (scanner.rs:553-708) — sniff to null and stay `unsupported`.
+        case _ =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) (None, StatusUnsupported) else (Some(fromBuffered(img)), StatusOk)
       }
     } catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
 

@@ -28,17 +28,27 @@ object BandJoin64 {
   /** 64-bit Hamming distance — single codegen'd bit_count. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** The 8 low-endian 8-bit chunks of a long column (hamminghash.rs:29-33). */
-  def chunksArray64(h: Column): Column =
-    array((0 until NumChunks).map { k =>
-      shiftrightunsigned(h, k * BitsPerChunk).bitwiseAND(lit(0xffL)).cast("int")
+  /** The 64/bits low-endian chunks of a long column (hamminghash.rs:29-33
+    * generalized). 8-bit chunks are reference parity; like the 256-bit
+    * path's chunkBits knob, wider chunks are the corpus-scale setting —
+    * 8-bit chunks mean only 256 buckets/chunk, so beyond n≈10⁵ every
+    * bucket holds n/256 rows and the join degenerates toward n²/256
+    * (measured: 1M random u64s = 3×10¹⁰ collisions); 16-bit chunks give
+    * 65536 buckets and identical recall by pigeonhole at tol ⌊t/4⌋. */
+  def chunksArray64(h: Column, bits: Int = BitsPerChunk): Column = {
+    require(Set(8, 16, 32)(bits), s"chunk width $bits must divide 64")
+    val mask = (1L << bits) - 1
+    array((0 until 64 / bits).map { k =>
+      shiftrightunsigned(h, k * bits).bitwiseAND(lit(mask)).cast("long")
     }: _*)
+  }
 
-  private def bandKeys(df: DataFrame, h: String, radius: Int): DataFrame =
+  private def bandKeys(df: DataFrame, h: String, radius: Int,
+                       chunkBits: Int): DataFrame =
     df.select(col("*"),
-        posexplode(chunksArray64(col(h))).as(Seq("band_idx", "chunk")))
+        posexplode(chunksArray64(col(h), chunkBits)).as(Seq("band_idx", "chunk")))
       .withColumn("mask",
-        explode(lit(BandJoin.masksB(radius, BitsPerChunk).map(_.toInt))))
+        explode(lit(BandJoin.masksB(radius, chunkBits))))
       .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
       .drop("chunk", "mask")
 
@@ -46,26 +56,34 @@ object BandJoin64 {
    * Fuzzy duplicate edges among confident rows (a < b, min dist per pair).
    * `sig` needs: ord, phash64, phash_variants, low_conf, has_pdq.
    */
-  def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold): DataFrame = {
+  def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold,
+                 chunkBits: Int = BitsPerChunk): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
-    val tol = threshold / NumChunks
+    val numChunks = 64 / chunkBits
+    val tol = threshold / numChunks
     // radius split (see BandJoin.bandMatches): probe side is 8× heavier
-    val rIdx = (0 to tol).minBy(r =>
-      BandJoin.maskCount(r, BitsPerChunk) +
-        8L * BandJoin.maskCount(tol - r, BitsPerChunk))
+    val feasible = (0 to tol).filter(r =>
+      BandJoin.maskCount(r, chunkBits) <= BandJoin.MaxMasksPerSide &&
+        BandJoin.maskCount(tol - r, chunkBits) <= BandJoin.MaxMasksPerSide)
+    require(feasible.nonEmpty,
+      s"threshold $threshold over $chunkBits-bit chunks: no probe-radius " +
+        s"split fits ${BandJoin.MaxMasksPerSide} masks/side")
+    val rIdx = feasible.minBy(r =>
+      BandJoin.maskCount(r, chunkBits) +
+        8L * BandJoin.maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
     val conf = sig.filter(col("has_pdq") && !col("low_conf"))
 
     val idx = bandKeys(
-      conf.select(col("ord"), col("phash64")), "phash64", rIdx)
+      conf.select(col("ord"), col("phash64")), "phash64", rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("phash64").as("c_h"))
 
     val prbBase = conf
       .select(col("ord"), explode(col("phash_variants")).as("v_h"))
-    val prb = bandKeys(prbBase, "v_h", rPrb)
+    val prb = bandKeys(prbBase, "v_h", rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
 
     // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
@@ -96,8 +114,9 @@ object BandJoin64 {
   }
 
   /** All verified duplicate edges (a < b, minimal dist per pair). */
-  def edges(sig: DataFrame, threshold: Int = DefaultThreshold): DataFrame =
-    fuzzyEdges(sig, threshold)
+  def edges(sig: DataFrame, threshold: Int = DefaultThreshold,
+            chunkBits: Int = BitsPerChunk): DataFrame =
+    fuzzyEdges(sig, threshold, chunkBits)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

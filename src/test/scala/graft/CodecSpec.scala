@@ -85,6 +85,15 @@ class CodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeWithStatus(junk, "pdf", 10, 10)._2 == "unsupported")
   }
 
+  test("guessed-format fallback (S5): mislabeled-but-decodable rows decode") {
+    val png = ImageCodec.encodePng(gradient(24, 18))
+    // claimed fmt has no dedicated tier — ImageIO sniffs the magic bytes
+    val (d, status) = ImageCodec.decodeWithStatus(png, "jxl", 24, 18)
+    assert(status == "ok" && d.get.w == 24, "sniff fallback failed")
+    val (d2, status2) = ImageCodec.decodeWithStatus(png, "webp", 24, 18)
+    assert(status2 == "ok" && d2.get.h == 18)
+  }
+
   test("status taxonomy: truncated JPEG is error, not unsupported") {
     val good = ImageCodec.encodeJpeg(gradient(32, 32), 0.8f)
     val truncated = java.util.Arrays.copyOf(good, 20)

@@ -130,6 +130,30 @@ class LshSpec extends AnyFunSuite {
     assert(edges.length == 1 && edges(0).getInt(2) == 12)
   }
 
+  test("threshold-63 planted cluster: R=3 tier recovers spreads up to 63 bits") {
+    // hamminghash.rs:283-332's high-threshold support at Spark level: the
+    // R=3 mask tier (tol = 63/16 = 3) must find members spread 33-63 bits
+    // from the target — distances only reachable through 2- and 3-bit
+    // chunk flips
+    val r = new java.util.Random(63)
+    val n = 1200
+    val hashes = scala.collection.mutable.ArrayBuffer.fill(n)(randHash(r))
+    val target = randHash(r)
+    val planted = Seq(target, flipBits(target, r, 33), flipBits(target, r, 48),
+      flipBits(target, r, 63))
+    val slots = scala.collection.mutable.Set[Int]()
+    while (slots.size < 4) slots += r.nextInt(n)
+    val slotSeq = slots.toSeq
+    slotSeq.zip(planted).foreach { case (s, h) => hashes(s) = h }
+
+    val edges = BandJoin.edges(sigFrame(hashes.toSeq), threshold = 63)
+    val comps = graft.cc.ConnectedComponents.run(spark, edges).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val compIds = slotSeq.map(s => comps.get(s.toLong))
+    assert(compIds.forall(_.isDefined), s"planted rows missing: $compIds")
+    assert(compIds.distinct.size == 1, s"planted rows split: $compIds")
+  }
+
   test("infeasible width/threshold guard fires before mask materialization") {
     // ADVICE r1: chunkBits=64 + threshold 63 → tol 15 → ~1e13 masks; must
     // throw a clear require, never hang building a lit array
@@ -202,6 +226,27 @@ class LshSpec extends AnyFunSuite {
       .map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
     assert(edges.exists(e => e._1 == 0L && e._2 == 1L && e._3 == 0),
       s"rot90 pair not found at dist 0: ${edges.take(5).toSeq}")
+  }
+
+  test("u64 chunk-width knob: 16-bit chunks produce the same edge set") {
+    // the n≥10⁶ scale setting (8-bit chunks have only 256 buckets/chunk
+    // and degenerate toward n²/256 collisions): equal recall by pigeonhole
+    val r = new java.util.Random(16)
+    val n = 2000
+    val hashes = scala.collection.mutable.ArrayBuffer.fill(n)(r.nextLong())
+    val target = r.nextLong()
+    val planted = Seq(target, flipBits64(target, r, 3), flipBits64(target, r, 8),
+      flipBits64(target, r, 14))
+    val slots = scala.collection.mutable.Set[Int]()
+    while (slots.size < 4) slots += r.nextInt(n)
+    slots.toSeq.zip(planted).foreach { case (s, h) => hashes(s) = h }
+    val sig = sigFrame64(hashes.toSeq)
+    val e8 = graft.lsh.BandJoin64.edges(sig).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val e16 = graft.lsh.BandJoin64.edges(sig, chunkBits = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(e8 == e16, s"only8=${(e8 -- e16).take(3)} only16=${(e16 -- e8).take(3)}")
+    assert(e8.nonEmpty)
   }
 
   test("u64 low-confidence rows only match exactly") {
