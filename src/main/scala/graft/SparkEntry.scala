@@ -42,6 +42,7 @@ object SparkEntry {
     "q_phash_groups" -> (RQ.qPhashGroups _),
     "q_group_max_dist" -> (RQ.qGroupMaxDist _),
     "q_band_join_r3" -> (RQ.qBandJoinR3 _),
+    "q_exif_date_order" -> (RQ.qExifDateOrder _),
     // text / dedup / ANN operators (DuckDB-gated)
     "q_doc_shingles" -> (TQ.qDocShingles _),
     "q_doc_minhash" -> (TQ.qDocMinhash _),
@@ -68,7 +69,8 @@ object SparkEntry {
     "q_img_caption_candidates" -> (IQ.qImgCaptionCandidates _),
     "q_img_decode_meta" -> (IQ.qImgDecodeMeta _),
     "q_img_phash_groups" -> (IQ.qImgPhashGroups _),
-    "q_img_exif" -> (IQ.qImgExif _)
+    "q_img_exif" -> (IQ.qImgExif _),
+    "q_img_enriched" -> (IQ.qImgEnriched _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -105,6 +107,7 @@ object SparkEntry {
     "q_phash_groups" -> RQ.sqlPhashGroups(d),
     "q_group_max_dist" -> RQ.sqlGroupMaxDist(d),
     "q_band_join_r3" -> RQ.sqlBandJoinR3(d),
+    "q_exif_date_order" -> RQ.sqlExifDateOrder(d),
     "q_doc_shingles" -> TQ.sqlDocShingles(d),
     "q_doc_minhash" -> TQ.sqlDocMinhash(d),
     "q_minhash_band_pairs" -> TQ.sqlMinhashBandPairs(d),

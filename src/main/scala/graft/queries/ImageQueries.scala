@@ -138,6 +138,33 @@ object ImageQueries {
       .orderBy("image_id")
   }
 
+  /** P17/P18 + T3 — the enrichment pass over REAL parsed EXIF: country via
+    * broadcast point-in-polygon, sun azimuth/altitude from GPS + EXIF
+    * timestamp — the reference's derived pseudo-tags 0xF001/0xF003-0xF006
+    * (exif_types.rs:62-74) computed as a second batch job over the same
+    * table (scanner.rs:2566-2731's background enrichment). */
+  def qImgEnriched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = corpus(spark)
+    val feats = graft.kernel.ExifFeatures.features(spark, Synth.readImages(spark, d))
+      .where(col("has_exif"))
+    // quadrant "countries" covering the synth GPS grid — the boundary
+    // table is a query input in this engine (the reference bundles ODbL
+    // polygons; same operator, fixture polygons)
+    val countries = Seq(
+      ("northwest", Array(-180.0, 0.0, 0.0, 0.0, 0.0, 90.0, -180.0, 90.0)),
+      ("northeast", Array(0.0, 0.0, 180.0, 0.0, 180.0, 90.0, 0.0, 90.0)),
+      ("southwest", Array(-180.0, -90.0, 0.0, -90.0, 0.0, 0.0, -180.0, 0.0)),
+      ("southeast", Array(0.0, -90.0, 180.0, -90.0, 180.0, 0.0, 0.0, 0.0)))
+      .toDF("country", "poly")
+    val withCountry = graft.functions.Geo.withCountry(feats, countries, "lon", "lat")
+    graft.functions.Geo.withSunPosition(withCountry, "lon", "lat", "exif_ts")
+      .select(col("image_id"), col("orientation"), col("exif_ts"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        col("country"), col("sun_azimuth"), col("sun_altitude"))
+      .orderBy("image_id")
+  }
+
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = corpus(spark)

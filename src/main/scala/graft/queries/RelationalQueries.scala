@@ -695,6 +695,33 @@ object RelationalQueries {
        ORDER BY a, b"""
 
   // =========================================================================
+  // W3 exif-date order — the scanner.rs:2078-2095 comparator: EXIF-stamped
+  // rows first (by EXIF ts), un-stamped after (by mtime); built from the
+  // REAL NaturalSort.exifDateOrder columns plus an id tie-break
+  // =========================================================================
+  def qExifDateOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = rd(spark, dir, "events").where(col("event_id") < 3000)
+      .select(col("event_id").cast("long").as("id"),
+        ((col("event_id") * 37) % 100000).cast("long").as("mtime"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise((col("event_id") * 91) % 100000).as("exif_ts"))
+    val sortCols = graft.functions.NaturalSort.exifDateOrder(
+      col("exif_ts"), col("mtime"), desc = false) :+ col("id").asc
+    e.withColumn("rnk", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      .orderBy("id")
+  }
+  def sqlExifDateOrder(dir: String): String =
+    s"""SELECT id, mtime, exif_ts,
+       row_number() OVER (ORDER BY (exif_ts IS NULL), exif_ts ASC NULLS LAST,
+                          mtime, id)::BIGINT AS rnk
+       FROM (SELECT event_id::BIGINT AS id,
+               ((event_id * 37) % 100000)::BIGINT AS mtime,
+               (CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE (event_id * 91) % 100000 END)::BIGINT AS exif_ts
+             FROM events WHERE event_id < 3000)
+       ORDER BY id"""
+
+  // =========================================================================
   // P16 — EXIF-style timestamp round-trip parse
   // =========================================================================
   def qExifTimestamp(spark: SparkSession, dir: String): DataFrame =

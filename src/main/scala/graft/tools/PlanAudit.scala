@@ -33,6 +33,17 @@ object PlanAudit {
       sig.select(org.apache.spark.sql.functions.col("ord").as("id"),
         org.apache.spark.sql.functions.col("ord").as("comp")))
       .explain("formatted")
+
+    println("########## edges64 (u64 pHash band join, 16-bit chunks) plan")
+    graft.lsh.BandJoin64.edges(sig, 15, chunkBits = 16).explain("formatted")
+
+    println("########## multimodal bucketed cosine plan")
+    import org.apache.spark.sql.functions._
+    val feats = sig.select(col("ord").cast("string").as("media_id"),
+      lit(true).as("ok"),
+      transform(sequence(lit(0), lit(31)),
+        i => (col("ord") % (i + 7)).cast("float")).as("feature"))
+    graft.multimodal.Multimodal.cosinePairs(feats, 0.95).explain("formatted")
     spark.stop()
   }
 }

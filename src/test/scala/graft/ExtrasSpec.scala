@@ -40,6 +40,44 @@ class ExtrasSpec extends AnyFunSuite {
     assert(sorted == Seq("a100b3", "a100b20", "IMG1", "img2", "img2b", "img10"))
   }
 
+  test("sort_files: all 12 reference orders produce the right permutations") {
+    import spark.implicits._
+    // (name, mtime, size, exif_ts, lat, lon) — exif null on two rows
+    val df = Seq(
+      ("img10.jpg", 50L, 300L, Some(20L), Some(10.0), Some(10.0)),
+      ("img2.jpg", 10L, 100L, None, None, None),
+      ("IMG1.jpg", 30L, 200L, Some(5L), Some(40.0), Some(40.0)),
+      ("a.jpg", 20L, 400L, None, Some(-10.0), Some(-10.0)))
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+      .toDF("name", "mtime", "size", "exif_ts", "lat", "lon")
+    def sortedNames(order: String): Seq[String] =
+      df.orderBy(NaturalSort.order(order, col("name"), col("mtime"),
+        col("size"), col("exif_ts"), col("lat"), col("lon"),
+        refLat = 0.0, refLon = 0.0): _*).collect().map(_.getString(0)).toSeq
+
+    assert(sortedNames("name") == Seq("IMG1.jpg", "a.jpg", "img10.jpg", "img2.jpg"))
+    assert(sortedNames("name-desc") == sortedNames("name").reverse)
+    assert(sortedNames("name-natural") == Seq("a.jpg", "IMG1.jpg", "img2.jpg", "img10.jpg"))
+    assert(sortedNames("name-natural-desc") == sortedNames("name-natural").reverse)
+    assert(sortedNames("date") == Seq("img2.jpg", "a.jpg", "IMG1.jpg", "img10.jpg"))
+    assert(sortedNames("date-desc") == sortedNames("date").reverse)
+    assert(sortedNames("size") == Seq("img2.jpg", "IMG1.jpg", "img10.jpg", "a.jpg"))
+    assert(sortedNames("size-desc") == sortedNames("size").reverse)
+    // exif-date: EXIF'd rows first by ts (IMG1=5 < img10=20), then
+    // EXIF-less by mtime (img2=10 < a=20) — scanner.rs:2078-2095
+    assert(sortedNames("exif-date") == Seq("IMG1.jpg", "img10.jpg", "img2.jpg", "a.jpg"))
+    // desc flips within both halves but EXIF'd still first
+    assert(sortedNames("exif-date-desc") == Seq("img10.jpg", "IMG1.jpg", "a.jpg", "img2.jpg"))
+    // location: distance to (0,0) — a(-10,-10) < img10(10,10)? equal dist;
+    // tie resolved by input order stability is not guaranteed → check set
+    // positions: GPS-less img2 must be last, nearest two first
+    val loc = sortedNames("location")
+    assert(loc.last == "img2.jpg")
+    assert(loc.take(2).toSet == Set("a.jpg", "img10.jpg"))
+    assert(sortedNames("random").toSet == loc.toSet) // a permutation
+    assert(sortedNames("bogus") == sortedNames("name-natural")) // fallback
+  }
+
   test("search query parser: ops, ranges, implicit contains") {
     val cs = SearchQuery.parse("size:10-30 name:contains:red iso:1600- f:>2.8 make:Canon")
     assert(cs.map(c => (c.tag, c.op)) == Seq(
