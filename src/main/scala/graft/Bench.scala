@@ -119,10 +119,23 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+    // INTERLEAVED shots (round 2): alternating N and 4N children in time
+    // means both cluster sizes sample the same neighbor-noise windows —
+    // min-of-k per level then compares like with like. (The round-1
+    // all-N-then-all-4N order let a quiet window land entirely on one
+    // level and showed up as efficiency swings 0.76-0.98 on an idle repo.)
     val loadBefore = loadavg()
-    val (n8, t8) = runIsolated(4, corpusDir, s"$tmp/run_n", reps = 2)
-    val (n32, t32) = runIsolated(16, corpusDir, s"$tmp/run_4n", reps = 3)
+    val shots = Seq(4 -> "n1", 16 -> "m1", 4 -> "n2", 16 -> "m2", 16 -> "m3")
+    val shotResults = shots.map { case (c, tag) =>
+      val r = runIsolated(c, corpusDir, s"$tmp/run_$tag", reps = 1)
+      val l = loadavg()
+      (c, r, l)
+    }
     val loadAfter = loadavg()
+    val n8 = shotResults.filter(_._1 == 4).map(_._2._1).head
+    val t8 = shotResults.filter(_._1 == 4).map(_._2._2).min
+    val n32 = shotResults.filter(_._1 == 16).map(_._2._1).head
+    val t32 = shotResults.filter(_._1 == 16).map(_._2._2).min
 
     val tp8 = n8 / t8
     val tp32 = n32 / t32
@@ -139,7 +152,9 @@ object Bench {
     // wall-clock up to 2×; loadavg bounds how noisy this run's window was
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
       s""""mix":"synth rowsForBase: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif-embedded jpgs)"}"""
-    val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f}"""
+    val shotJson = shotResults.map { case (c, (_, s), l) =>
+      f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f}""" }.mkString("[", ",", "]")
+    val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f,"shots":$shotJson}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"corpus":$corpusMeta,"loadavg":$load}""")
   }
 }

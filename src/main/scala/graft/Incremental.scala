@@ -6,16 +6,32 @@ import graft.groups.Groups
 import graft.kernel.SignatureKernel
 import graft.lsh.{BandIndex, BandJoin}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Versioned corpus state for chained incremental runs. A corpus work dir
- * holds an evolving (signatures, components) pair; version 0 is the batch
- * [[Pipeline]] run's own stage output, each incremental merge commits
- * version k+1 under `state_v{k+1}/` with an atomic marker file — the
- * Iceberg-snapshot analog. Readers resolve the highest committed marker,
- * so a crash mid-write leaves the previous version intact and visible.
+ * Versioned, MERGE-ON-READ corpus state for chained incremental runs —
+ * the Iceberg-table shape, hand-rolled over parquet (no Iceberg jar in
+ * env, SURVEY.md §7):
+ *
+ *  - Version 0 is the batch [[Pipeline]] run's own stage output
+ *    (`signatures`, `components` under the corpus work dir).
+ *  - Each incremental merge k commits `state_v{k}/` containing ONLY its
+ *    delta: `sig_delta` (the new rows — signatures are immutable and
+ *    ord-disjoint, so the live table is a plain union) and `comp_patch`
+ *    (full re-labeled rows for the components the delta touched —
+ *    latest version wins per id at read time).
+ *  - An atomic owner-stamped marker file commits each version; a crash
+ *    mid-write leaves the previous version intact and visible.
+ *  - [[CorpusState.compact]] materializes the current merged view as a
+ *    `snapshot_*` pair inside the newest version dir; reads then start
+ *    from the latest snapshot instead of v0, and older version dirs can
+ *    be expired with [[CorpusState.gc]] (snapshot expiry analog).
+ *
+ * This is what makes the incremental path DELTA-PROPORTIONAL in writes:
+ * a 10¹²-row corpus is never rewritten to absorb a 10⁶-row delta
+ * (measured in tools/IncBench — the state commit is O(delta + affected
+ * components), not O(corpus)).
  *
  * The marker records the deltaWork that produced it: a resumed run with
  * the same deltaWork skips the commit; a DIFFERENT delta trying to commit
@@ -24,15 +40,23 @@ import org.apache.spark.sql.functions._
  * Iceberg commits).
  */
 object CorpusState {
-  def sigPath(corpusWork: String, v: Int): String =
-    if (v == 0) s"$corpusWork/signatures" else s"$corpusWork/state_v$v/signatures"
-  def compPath(corpusWork: String, v: Int): String =
-    if (v == 0) s"$corpusWork/components" else s"$corpusWork/state_v$v/components"
+  def stateDir(corpusWork: String, v: Int): String = s"$corpusWork/state_v$v"
+  def sigDeltaPath(corpusWork: String, v: Int): String =
+    s"${stateDir(corpusWork, v)}/sig_delta"
+  def compPatchPath(corpusWork: String, v: Int): String =
+    s"${stateDir(corpusWork, v)}/comp_patch"
+  private def snapSigPath(corpusWork: String, v: Int) =
+    s"${stateDir(corpusWork, v)}/snapshot_signatures"
+  private def snapCompPath(corpusWork: String, v: Int) =
+    s"${stateDir(corpusWork, v)}/snapshot_components"
 
   private def marker(corpusWork: String, v: Int) = s"$corpusWork/_state_v$v"
 
-  private def fs(spark: SparkSession, p: String) =
+  private[graft] def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p))
 
   private def readFile(spark: SparkSession, p: String): Option[String] = {
     val f = fs(spark, p)
@@ -78,6 +102,79 @@ object CorpusState {
             "not supported; re-run against the current state")
       case None => writeFile(spark, marker(corpusWork, v), deltaWork)
     }
+
+  /** Latest version ≤ v carrying a compaction snapshot, if any. */
+  private def latestSnapshot(spark: SparkSession, corpusWork: String,
+                             v: Int): Option[Int] =
+    (v to 1 by -1).find(k =>
+      exists(spark, s"${snapSigPath(corpusWork, k)}/_SUCCESS") &&
+        exists(spark, s"${snapCompPath(corpusWork, k)}/_SUCCESS"))
+
+  /** The live signatures table at version `v`: snapshot-or-base plus all
+    * later delta segments (plain union — ords are disjoint, rows
+    * immutable). */
+  def readSignatures(spark: SparkSession, corpusWork: String, v: Int): DataFrame = {
+    val (base, start) = latestSnapshot(spark, corpusWork, v) match {
+      case Some(k) => (snapSigPath(corpusWork, k), k + 1)
+      case None => (s"$corpusWork/signatures", 1)
+    }
+    val segs = (start to v).map(sigDeltaPath(corpusWork, _))
+      .filter(exists(spark, _))
+    (base +: segs).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** The live components table at version `v`: base rows overridden by
+    * the HIGHEST-version patch containing each id (merge-on-read). */
+  def readComponents(spark: SparkSession, corpusWork: String, v: Int): DataFrame = {
+    val (base, start) = latestSnapshot(spark, corpusWork, v) match {
+      case Some(k) => (snapCompPath(corpusWork, k), k + 1)
+      case None => (s"$corpusWork/components", 1)
+    }
+    val withVer = (start to v).foldLeft(
+      spark.read.parquet(base).select(col("id"), col("comp"))
+        .withColumn("ver", lit(0))) { (acc, k) =>
+      val p = compPatchPath(corpusWork, k)
+      if (exists(spark, p))
+        acc.unionByName(spark.read.parquet(p)
+          .select(col("id"), col("comp")).withColumn("ver", lit(k)))
+      else acc
+    }
+    withVer.groupBy("id")
+      .agg(max(struct(col("ver"), col("comp"))).as("m"))
+      .select(col("id"), col("m.comp").as("comp"))
+  }
+
+  /**
+   * Compaction: materialize the current merged view as a snapshot inside
+   * the newest version dir (read path then starts there). Run it every
+   * K deltas so the merge-on-read layer stack stays shallow.
+   */
+  def compact(spark: SparkSession, corpusWork: String): Unit = {
+    val v = version(spark, corpusWork)
+    if (v == 0) return
+    if (latestSnapshot(spark, corpusWork, v).contains(v)) return // already
+    val sig = readSignatures(spark, corpusWork, v)
+    val comps = readComponents(spark, corpusWork, v)
+    sig.write.mode(SaveMode.Overwrite).parquet(snapSigPath(corpusWork, v))
+    comps.write.mode(SaveMode.Overwrite).parquet(snapCompPath(corpusWork, v))
+  }
+
+  /**
+   * Expire version dirs made redundant by a snapshot: only versions
+   * STRICTLY BELOW the latest snapshot are deleted (their deltas/patches
+   * are folded into it). Version-0 dirs are never touched — they are the
+   * batch Pipeline's own stage checkpoints. No-op when no snapshot
+   * exists (every delta layer is still live state).
+   */
+  def gc(spark: SparkSession, corpusWork: String): Unit = {
+    val v = version(spark, corpusWork)
+    latestSnapshot(spark, corpusWork, v).foreach { snap =>
+      val f = fs(spark, corpusWork)
+      (1 until snap).foreach { k =>
+        f.delete(new Path(stateDir(corpusWork, k)), true)
+      }
+    }
+  }
 }
 
 /**
@@ -86,7 +183,7 @@ object CorpusState {
  * the reference's incremental rescan (scanner.rs:1251-1294: cache-hit
  * files skip hashing; here the whole corpus skips candidate generation).
  *
- * Work is delta-proportional:
+ * Work is delta-proportional in BOTH compute and writes:
  *   1. kernel only on delta rows (ords offset past the corpus max)
  *   2. delta ↔ corpus candidate edges via the persisted range-partitioned
  *      [[BandIndex]] (probe-side dihedral + multi-probe expansion on the
@@ -95,14 +192,14 @@ object CorpusState {
  *      (pdqhash.rs:71-151 — permutation + XOR), so
  *      min_g dist(T_g(a), b) = min_g dist(a, T_g(b)) by group closure.
  *   3. delta-internal edges via the ordinary self band join
- *   4. existing groups enter connected components as star edges
- *      (comp → member), so merged labels stay min-ord-consistent with
- *      what a full run over corpus ∪ delta would produce
- *   5. the merged (signatures, components) state commits as a NEW corpus
- *      version ([[CorpusState]]) and the delta's band keys append to the
- *      index as an atomic segment — so the NEXT delta chains off complete
- *      state instead of silently reusing stale ords (the round-1 chained-
- *      run corruption)
+ *   4. ONLY the existing components touched by a cross edge re-enter
+ *      connected components (as comp→member star edges), so merged labels
+ *      stay min-ord-consistent with a full batch run while CC sees an
+ *      affected-subgraph-sized input, not the corpus
+ *   5. the state commit writes the delta signatures + the re-labeled
+ *      patch for affected components ([[CorpusState]] merge-on-read),
+ *      and the delta's band keys append to the index as an atomic
+ *      segment — nothing O(corpus) is rewritten
  *
  * Consistency audit on every run: the index's max indexed ord must never
  * exceed the signatures' max ord (refused as corruption); an index LAGGING
@@ -121,10 +218,16 @@ object Incremental {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** When `fullOutput` (default), the returned frame re-assembles EVERY
+    * group in corpus ∪ delta (the reference's report-everything UX, and
+    * what the equivalence specs compare). At 10¹²-scale pass false to
+    * assemble only the groups the delta touched — the state commit is
+    * identical either way. */
   def run(spark: SparkSession, deltaImages: DataFrame, corpusWork: String,
           deltaWork: String,
           threshold: Int = Pipeline.DefaultThreshold,
-          registryPath: Option[String] = None): DataFrame = {
+          registryPath: Option[String] = None,
+          fullOutput: Boolean = true): DataFrame = {
     val ckpt = new Ckpt(spark, deltaWork)
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
@@ -135,7 +238,7 @@ object Incremental {
     // Pin the base version at FIRST start of this deltaWork: a resumed run
     // must keep reading the pre-merge state even after its own commit
     // advanced the version (otherwise resume would re-merge the delta into
-    // an allSig that already contains it — duplicated rows).
+    // state that already contains it).
     val baseVerPath = s"$deltaWork/_base_version"
     val baseVer: Int = {
       val fsys = new Path(deltaWork).getFileSystem(hconf)
@@ -152,7 +255,7 @@ object Incremental {
       }
     }
 
-    val corpusSig = spark.read.parquet(CorpusState.sigPath(corpusWork, baseVer))
+    val corpusSig = CorpusState.readSignatures(spark, corpusWork, baseVer)
     val indexPath = s"$corpusWork/band_index"
     if (!BandIndex.exists(spark, indexPath)) BandIndex.build(corpusSig, indexPath)
 
@@ -166,7 +269,7 @@ object Incremental {
     // pinned base — that is consistent, not corrupt)
     val curVer = CorpusState.version(spark, corpusWork)
     val curSig = if (curVer == baseVer) corpusSig
-      else spark.read.parquet(CorpusState.sigPath(corpusWork, curVer))
+      else CorpusState.readSignatures(spark, corpusWork, curVer)
     val curMaxOrd = {
       val r = curSig.agg(max("ord")).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
@@ -184,7 +287,7 @@ object Incremental {
       SignatureKernel.signatures(spark, deltaImages).toDF()
         .dropDuplicates("image_id")
         // S1 semantics across runs: an image_id already in the corpus is
-        // the same logical row — skip it (cheap anti-join on ~tiny delta)
+        // the same logical row — skip it (single-column anti-join)
         .join(corpusSig.select("image_id"), Seq("image_id"), "left_anti")
         .withColumn("ord", monotonically_increasing_id() + lit(maxOrd + 1)))
 
@@ -196,15 +299,34 @@ object Incremental {
     val (internal, _) = ckpt.stage("delta_internal_edges")(
       BandJoin.edges(deltaSig, threshold))
 
-    val oldComps = spark.read.parquet(CorpusState.compPath(corpusWork, baseVer))
-    val starEdges = oldComps.where(col("id") =!= col("comp"))
+    val oldComps = CorpusState.readComponents(spark, corpusWork, baseVer)
+
+    // delta-proportional CC input: only components that share a cross
+    // edge with the delta are re-labeled; everything else keeps its rows
+    val touched = cross.select(col("a").as("id"))
+      .unionByName(cross.select(col("b").as("id"))).distinct()
+    val affectedComps = oldComps.join(touched, Seq("id")).select("comp").distinct()
+    val affectedOld = oldComps.join(affectedComps, Seq("comp"), "left_semi")
+    val starEdges = affectedOld.where(col("id") =!= col("comp"))
       .select(col("comp").as("a"), col("id").as("b"), lit(0).as("dist"))
 
     val allEdges = cross.unionByName(internal).unionByName(starEdges)
-    val (comps, _) = ckpt.stage("components")(
+    // the component PATCH: new labels for delta rows + affected old rows
+    val (patch, _) = ckpt.stage("components")(
       ConnectedComponents.run(spark, allEdges))
 
-    val allSig = corpusSig.unionByName(deltaSig)
+    // merged component view for the returned groups
+    val comps =
+      if (fullOutput)
+        oldComps.join(patch.select("id"), Seq("id"), "left_anti")
+          .unionByName(patch)
+      else patch
+    val allSig = if (fullOutput) corpusSig.unionByName(deltaSig) else {
+      val ids = comps.select(col("id"))
+      corpusSig.unionByName(deltaSig)
+        .join(ids, corpusSig("ord") === ids("id"), "left_semi")
+    }
+
     val (grouped, _) = ckpt.stage("groups")(registryPath match {
       case None => Groups.assemble(allSig, comps)
       case Some(regPath) =>
@@ -227,16 +349,17 @@ object Incremental {
         assembled.join(assigned, Seq("comp"), "left")
     })
 
-    // --- commit the merged state as the next corpus version, then append
-    // the delta's band keys as an atomic segment. Order matters for the
-    // audit above: state first (index may lag → self-heals), never the
-    // reverse (index leading state is unrecoverable without a rebuild).
+    // --- commit the DELTA-SIZED state as the next corpus version, then
+    // append the delta's band keys as an atomic segment. Order matters
+    // for the audit above: state first (index may lag → self-heals),
+    // never the reverse (index leading state is unrecoverable without a
+    // rebuild).
     val newVer = baseVer + 1
     if (CorpusState.owner(spark, corpusWork, newVer).isEmpty) {
-      allSig.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(CorpusState.sigPath(corpusWork, newVer))
-      comps.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(CorpusState.compPath(corpusWork, newVer))
+      deltaSig.write.mode(SaveMode.Overwrite)
+        .parquet(CorpusState.sigDeltaPath(corpusWork, newVer))
+      patch.write.mode(SaveMode.Overwrite)
+        .parquet(CorpusState.compPatchPath(corpusWork, newVer))
     }
     CorpusState.commit(spark, corpusWork, newVer, deltaWork)
     BandIndex.append(deltaSig, indexPath,

@@ -28,6 +28,51 @@ object SearchQuery {
     ">" -> "gt", "gt" -> "gt",
     ">=" -> "ge", "ge" -> "ge", "gte" -> "ge")
 
+  /** The reference's built-in tag alias table (resolve_tag_name,
+    * search_index.rs:859-909), alias → canonical tag name. Canonical names
+    * are what callers key their column maps by. */
+  val canonicalAliases: Map[String, String] = {
+    def m(canonical: String, aliases: String*) = aliases.map(_ -> canonical)
+    (m("sun_azimuth", "sunazimuth", "sun_azimuth", "sun_az", "azimuth", "az",
+        "sunposition", "sun_position", "sun") ++
+      m("sun_altitude", "sunaltitude", "sun_altitude", "sun_alt", "altitude",
+        "alt", "elevation") ++
+      m("country", "country", "derivedcountry") ++
+      m("subdivision", "subdivision", "state", "province", "region") ++
+      m("timezone", "timezone", "tz") ++
+      m("iso", "iso", "isospeed") ++
+      m("fnumber", "aperture", "fnumber", "f") ++
+      m("exposure_time", "exposure", "exposuretime", "shutter") ++
+      m("focal_length", "focal", "focallength", "fl") ++
+      m("focal_length_35mm", "focal35", "focallength35", "focallength35mm", "fl35") ++
+      m("make", "make", "manufacturer", "brand") ++
+      m("model", "model", "camera") ++
+      m("lens_model", "lens", "lensmodel") ++
+      m("lens_make", "lensmake") ++
+      m("datetime_original", "date", "datetime", "datetimeoriginal") ++
+      m("software", "software", "app") ++
+      m("artist", "artist", "photographer") ++
+      m("copyright", "copyright") ++
+      m("orientation", "orientation") ++
+      m("width", "width", "imagewidth") ++
+      m("height", "height", "imageheight") ++
+      m("flash", "flash") ++
+      m("white_balance", "whitebalance", "wb") ++
+      m("metering_mode", "metering", "meteringmode") ++
+      m("exposure_program", "exposureprogram", "program") ++
+      m("exposure_bias", "exposurebias", "ev", "bias") ++
+      m("lat", "gps", "gpslat", "gpslatitude", "lat", "latitude") ++
+      m("lon", "gpslon", "gpslongitude", "lon", "longitude") ++
+      m("gps_altitude", "gpsalt", "gpsaltitude")).toMap
+  }
+
+  /** Alias → canonical tag name; unknown names pass through unchanged
+    * (callers may define custom tags). */
+  def resolveTag(name: String): String = {
+    val l = name.toLowerCase
+    canonicalAliases.getOrElse(l, l)
+  }
+
   private val rangeRe = "^(-?\\d+(?:\\.\\d+)?)-(-?\\d+(?:\\.\\d+)?)?$".r
   private val numRe = "^-?\\d+(\\.\\d+)?$".r
 
@@ -53,11 +98,14 @@ object SearchQuery {
       }
     }
 
-  /** Conjunctive Column predicate over `aliases: tagName → column`. */
+  /** Conjunctive Column predicate over `aliases: tagName → column`; tag
+    * names resolve through [[canonicalAliases]] first, so "aperture:>2.8"
+    * finds the caller's "fnumber" column (search_index.rs:859-909). */
   def predicate(query: String, aliases: Map[String, Column]): Column =
     parse(query).map { c =>
-      val col = aliases.getOrElse(c.tag.toLowerCase,
-        throw new IllegalArgumentException(s"unknown search tag: ${c.tag}"))
+      val resolved = resolveTag(c.tag)
+      val col = aliases.getOrElse(resolved, aliases.getOrElse(c.tag.toLowerCase,
+        throw new IllegalArgumentException(s"unknown search tag: ${c.tag}")))
       c.op match {
         case "eq" if numRe.matches(c.value) => col === lit(c.value.toDouble)
         case "eq" => col === lit(c.value)

@@ -101,6 +101,37 @@ object BandIndex {
              numPartitions: Int = 32): Unit =
     writeSegment(sig, path, segName, numPartitions)
 
+  /**
+   * Compact all committed segments into one (the Iceberg rewrite-data-files
+   * analog): after many deltas the index is N small range-sorted segments,
+   * each probed file-by-file; compaction restores one tight global range
+   * order. Protocol: write the merged rows to a staging dir, commit it as
+   * a new segment, then delete the subsumed ones. A crash between commit
+   * and deletes leaves duplicate band rows — semantically benign (probe
+   * dedups via groupBy/min) and removed by the next compact; the index is
+   * never unreadable or missing keys at any point.
+   */
+  def compact(spark: SparkSession, path: String, numPartitions: Int = 32): Unit = {
+    val all = segments(spark, path)
+    if (all.size <= 1) return
+    val gen = all.size
+    val segName = f"seg_zc$gen%06d" // sorts after deltas; new name per shape
+    val f = fs(spark, path)
+    val finalP = new Path(path, segName)
+    if (!f.exists(finalP)) {
+      val staging = new Path(path, s".tmp_$segName")
+      spark.read.parquet(all: _*)
+        .dropDuplicates() // row-identical dups from a prior crash window
+        .repartitionByRange(numPartitions, col("band_idx"), col("band_val"))
+        .sortWithinPartitions("band_idx", "band_val")
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      if (!f.rename(staging, finalP))
+        throw new java.io.IOException(s"compact commit failed: $staging -> $finalP")
+    }
+    all.filterNot(_.endsWith(s"/$segName"))
+      .foreach(s => f.delete(new Path(s), true))
+  }
+
   /** Highest ord present in the index, or -1 when empty — the indexed-ord
     * ceiling used to audit index/signature consistency (a lagging index
     * means committed signatures whose keys were never appended). */

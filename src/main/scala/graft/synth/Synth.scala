@@ -553,4 +553,15 @@ object Synth {
   def readImages(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/images")
       .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+  /** In-memory images frame for base ids [from, until) — input_hint
+    * schema, distributed synthesis (bench/delta tooling). */
+  def imagesDF(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(from, until, 1,
+        math.max(spark.sparkContext.defaultParallelism, 1).toInt)
+      .as[Long]
+      .mapPartitions(_.flatMap(rowsForBase))
+      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash")
+  }
 }

@@ -67,6 +67,29 @@ class BandIndexSpec extends AnyFunSuite {
     assert(after.size >= before, "appending shrank the result")
   }
 
+  test("compact: many segments collapse to one, probe results unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex5").toString
+    val thirds = corpus.grouped(math.max(corpus.size / 3, 1)).toSeq
+    BandIndex.build(thirds.head.toDS().toDF(), s"$dir/index")
+    thirds.tail.zipWithIndex.foreach { case (part, i) =>
+      BandIndex.append(part.toDS().toDF(), s"$dir/index", s"seg_delta_$i")
+    }
+    val before = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    BandIndex.compact(spark, s"$dir/index")
+    val segsAfter = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segsAfter.length == 1, s"expected 1 segment, got ${segsAfter.map(_.getName).toSeq}")
+    val after = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after == before, "compaction changed probe results")
+    // idempotent / no-op on a single segment
+    BandIndex.compact(spark, s"$dir/index")
+    assert(BandIndex.maxOrd(spark, s"$dir/index") ==
+      corpus.map(_.ord).max)
+  }
+
   test("range layout: files carry tight band_idx min-max (pruning basis)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bandindex4").toString

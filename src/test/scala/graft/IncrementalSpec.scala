@@ -118,10 +118,31 @@ class IncrementalSpec extends AnyFunSuite {
     // state advanced twice and every indexed ord exists in the signatures
     assert(CorpusState.version(spark, s"$base/corpus-work") == 2)
     import org.apache.spark.sql.functions._
-    val sigMax = spark.read.parquet(
-        CorpusState.sigPath(s"$base/corpus-work", 2))
+    val sigMax = CorpusState.readSignatures(spark, s"$base/corpus-work", 2)
       .agg(max("ord")).head().getLong(0)
     val idxMax = graft.lsh.BandIndex.maxOrd(spark, s"$base/corpus-work/band_index")
     assert(idxMax <= sigMax, s"index ord $idxMax leads signatures $sigMax")
+
+    // merge-on-read invariants: each version dir holds only its DELTA
+    // (not a corpus rewrite), and compaction + gc fold them into a
+    // snapshot without changing the merged view
+    val v1Rows = spark.read.parquet(
+      CorpusState.sigDeltaPath(s"$base/corpus-work", 1)).count()
+    assert(v1Rows < rows.size / 2, s"v1 sig segment has $v1Rows rows — corpus rewrite?")
+    val sigBefore = CorpusState.readSignatures(spark, s"$base/corpus-work", 2)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val compBefore = CorpusState.readComponents(spark, s"$base/corpus-work", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CorpusState.compact(spark, s"$base/corpus-work")
+    CorpusState.gc(spark, s"$base/corpus-work")
+    assert(!new java.io.File(s"$base/corpus-work/state_v1").exists(),
+      "gc kept a version below the snapshot")
+    assert(CorpusState.version(spark, s"$base/corpus-work") == 2)
+    val sigAfter = CorpusState.readSignatures(spark, s"$base/corpus-work", 2)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val compAfter = CorpusState.readComponents(spark, s"$base/corpus-work", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigAfter == sigBefore, "compaction changed the signature view")
+    assert(compAfter == compBefore, "compaction changed the component view")
   }
 }
