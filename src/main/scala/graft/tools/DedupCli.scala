@@ -9,18 +9,27 @@ import graft.synth.Synth
  * dedup pipeline over an images table and print the ordered group report.
  *
  * Usage:
- *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold]
+ *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold] [pdq|phash]
  *
  * `SYNTH:200` synthesizes a 200-base deterministic corpus first (no
  * external data in this sandbox); otherwise the first arg is a directory
- * holding an `images` parquet table with the input_hint schema.
+ * holding an `images` parquet table with the input_hint schema. The
+ * optional 4th arg selects the grouping hash (the library-level algorithm
+ * switch, hamminghash.rs u64 vs [u8;32]); `phash` defaults its threshold
+ * to 15 (MAX_SIMILARITY_64) when none is given.
  */
 object DedupCli {
   def main(args: Array[String]): Unit = {
     val input = args.headOption.getOrElse("SYNTH:50")
     val workDir = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-dedup").toString
-    val threshold = if (args.length > 2) args(2).toInt else Pipeline.DefaultThreshold
+    val algorithm = if (args.length > 3) args(3) else "pdq"
+    // "-" or "" for threshold = use the algorithm's default
+    val threshold = args.lift(2).filter(t => t.nonEmpty && t != "-") match {
+      case Some(t) => t.toInt
+      case None if algorithm == "phash" => graft.lsh.BandJoin64.DefaultThreshold
+      case None => Pipeline.DefaultThreshold
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val spark = Pipeline.session(s"local[$cpus]")
@@ -34,13 +43,14 @@ object DedupCli {
       } else Synth.readImages(spark, input)
 
     val t0 = System.nanoTime()
-    val grouped = Pipeline.run(spark, images, s"$workDir/work", threshold)
+    val grouped = Pipeline.run(spark, images, s"$workDir/work", threshold,
+      algorithm = algorithm)
     val summary = Groups.groupSummary(grouped)
     val rows = summary.collect()
     val wall = (System.nanoTime() - t0) / 1e9
     val nImages = images.count()
 
-    println(s"== graft dedup: $nImages images, threshold $threshold ==")
+    println(s"== graft dedup: $nImages images, threshold $threshold, $algorithm ==")
     rows.take(50).foreach { r =>
       val members = r.getAs[scala.collection.Seq[String]]("members")
       println(f"group size=${r.getAs[Long]("group_size")}%3d max_dist=${r.getAs[Int]("max_dist")}%3d " +
