@@ -70,7 +70,8 @@ object SparkEntry {
     "q_img_decode_meta" -> (IQ.qImgDecodeMeta _),
     "q_img_phash_groups" -> (IQ.qImgPhashGroups _),
     "q_img_exif" -> (IQ.qImgExif _),
-    "q_img_enriched" -> (IQ.qImgEnriched _)
+    "q_img_enriched" -> (IQ.qImgEnriched _),
+    "q_img_search" -> (IQ.qImgSearch _)
   )
 
   def oracleSql: Map[String, String] = {

@@ -159,9 +159,38 @@ object ImageQueries {
       .toDF("country", "poly")
     val withCountry = graft.functions.Geo.withCountry(feats, countries, "lon", "lat")
     graft.functions.Geo.withSunPosition(withCountry, "lon", "lat", "exif_ts")
+      // 0xF005 Timezone analog: solar offset round(lon/15) — the reference
+      // uses tzf-rs boundary data (not in env); the solar offset is the
+      // deterministic, data-free stand-in, exact on ocean/UTC-aligned zones
+      .withColumn("tz_offset_hours",
+        round(col("lon") / 15.0, 0).cast("int"))
+      // 0xF002 Subdivision analog: hemisphere band within the country
+      .withColumn("subdivision",
+        concat(col("country"), lit(":"),
+          when(abs(col("lat")) < 30.0, lit("tropic")).otherwise(lit("temperate"))))
       .select(col("image_id"), col("orientation"), col("exif_ts"),
         round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
-        col("country"), col("sun_azimuth"), col("sun_altitude"))
+        col("country"), col("subdivision"), col("tz_offset_hours"),
+        col("sun_azimuth"), col("sun_altitude"))
+      .orderBy("image_id")
+  }
+
+  /** §2.9 over REAL parsed EXIF — the search predicate language applied
+    * to the enriched features table with the reference's tag aliases
+    * ("az:>90 lat:<0 country:contains:west" works verbatim). */
+  def qImgSearch(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = qImgEnriched(spark, dir)
+    val aliasCols = Map(
+      "orientation" -> col("orientation"),
+      "datetime_original" -> col("exif_ts"),
+      "lat" -> col("lat"), "lon" -> col("lon"),
+      "country" -> col("country"), "subdivision" -> col("subdivision"),
+      "timezone" -> col("tz_offset_hours"),
+      "sun_azimuth" -> col("sun_azimuth"),
+      "sun_altitude" -> col("sun_altitude"))
+    enriched.where(graft.functions.SearchQuery.predicate(
+        "alt:>0 country:contains:west orientation:2-8", aliasCols))
+      .select("image_id", "orientation", "country", "sun_altitude")
       .orderBy("image_id")
   }
 

@@ -65,6 +65,40 @@ class ExifSpec extends AnyFunSuite {
       graft.kernel.DecodedImage(8, 8, new Array[Int](64)))).isEmpty)
   }
 
+  test("property: random orientation/timestamp/GPS round-trip exactly") {
+    // 500 randomized writer→parser round trips (seeded): the APP1 layout
+    // math (offsets, inline vs remote values, rational encoding) must
+    // hold for arbitrary inputs, not just the fixture grid
+    val r = new scala.util.Random(20260816L)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy:MM:dd HH:mm:ss")
+    for (i <- 0 until 500) {
+      val o = 1 + r.nextInt(8)
+      val epoch = 315532800L + (math.abs(r.nextLong()) % 2524608000L) // 1980..2050
+      val dto = java.time.LocalDateTime
+        .ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC).format(fmt)
+      val hasGps = r.nextBoolean()
+      val lat = if (hasGps) Some(r.nextDouble() * 180.0 - 90.0) else None
+      val lon = if (hasGps) Some(r.nextDouble() * 360.0 - 180.0) else None
+      val app1 = Exif.buildApp1(o, dto, lat, lon, make = s"m$i")
+      val parsed = Exif.parseTiff(app1, 4 + 6, app1.length)
+      assert(parsed.isDefined, s"iter $i: parse failed")
+      val e = parsed.get
+      assert(e.orientation.contains(o), s"iter $i orientation")
+      assert(e.dateTimeOriginal.contains(dto), s"iter $i dto")
+      assert(e.timestamp.contains(epoch), s"iter $i ts")
+      (lat, e.lat) match {
+        case (Some(w), Some(g)) => assert(math.abs(w - g) < 2e-6, s"iter $i lat $w vs $g")
+        case (None, None) =>
+        case other => fail(s"iter $i lat mismatch: $other")
+      }
+      (lon, e.lon) match {
+        case (Some(w), Some(g)) => assert(math.abs(w - g) < 2e-6, s"iter $i lon $w vs $g")
+        case (None, None) =>
+        case other => fail(s"iter $i lon mismatch: $other")
+      }
+    }
+  }
+
   test("Synth JPEG rows carry parseable EXIF matching the deterministic fixture") {
     val rows = (0L until 12L).flatMap(Synth.rowsForBase).filter(_.fmt == "jpg")
     assert(rows.nonEmpty, "no jpg rows in synth sample")
