@@ -70,13 +70,20 @@ object Pipeline {
     * threshold ≤ 15, hamminghash.rs:5). */
   /** `phashChunkBits`: 8 = reference parity (hamminghash.rs:39-41), 16 =
     * the n≥10⁶ setting (identical edges, ~10× less collision volume —
-    * measured in MillionBench phash vs phash16). */
+    * measured in MillionBench phash vs phash16).
+    *
+    * `contentStar`: OFF by default for reference parity (the reference
+    * skips hash-less files entirely, scanner.rs:1659-1663); ON adds
+    * linear star edges on byte-identical `content_hash`, so exact copies
+    * of UNDECODABLE files (a corrupt JPEG uploaded twice, a JXL slice
+    * with no codec) still dedup — what a training-data pipeline wants. */
   def run(spark: SparkSession, images: DataFrame, workDir: String,
           threshold: Int = DefaultThreshold,
           registryPath: Option[String] = None,
           chunkBits: Int = graft.lsh.BandJoin.BitsPerChunk,
           algorithm: String = "pdq",
-          phashChunkBits: Int = graft.lsh.BandJoin64.BitsPerChunk): DataFrame = {
+          phashChunkBits: Int = graft.lsh.BandJoin64.BitsPerChunk,
+          contentStar: Boolean = false): DataFrame = {
     require(algorithm == "pdq" || algorithm == "phash",
       s"unknown algorithm '$algorithm' (pdq | phash)")
     val ckpt = new Ckpt(spark, workDir)
@@ -99,10 +106,22 @@ object Pipeline {
       }
     }
 
-    val (edges, edgesHit) = ckpt.stage("edges")(
-      if (algorithm == "phash")
-        graft.lsh.BandJoin64.edges(sig, threshold, phashChunkBits)
-      else BandJoin.edges(sig, threshold, chunkBits = chunkBits))
+    val (edges, edgesHit) = ckpt.stage("edges")({
+      val hashEdges =
+        if (algorithm == "phash")
+          graft.lsh.BandJoin64.edges(sig, threshold, phashChunkBits)
+        else BandJoin.edges(sig, threshold, chunkBits = chunkBits)
+      if (!contentStar) hashEdges
+      else {
+        // linear star on byte identity (hub = min ord per content_hash)
+        val hubs = sig.groupBy("content_hash").agg(min("ord").as("hub"))
+        val star = sig.join(hubs, Seq("content_hash"))
+          .where(col("ord") =!= col("hub"))
+          .select(least(col("ord"), col("hub")).as("a"),
+            greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
+        hashEdges.unionByName(star).groupBy("a", "b").agg(min("dist").as("dist"))
+      }
+    })
     if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)
 
     val (comps, _) = ckpt.stage("components")(

@@ -57,7 +57,7 @@ object BandJoin64 {
    * `sig` needs: ord, phash64, phash_variants, low_conf, has_pdq.
    */
   def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold,
-                 chunkBits: Int = BitsPerChunk): DataFrame = {
+                 chunkBits: Int = BitsPerChunk, saltFactor: Int = 1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
     val numChunks = 64 / chunkBits
@@ -76,19 +76,25 @@ object BandJoin64 {
 
     val conf = sig.filter(col("has_pdq") && !col("low_conf"))
 
-    val idx = bandKeys(
+    val idx0 = bandKeys(
       conf.select(col("ord"), col("phash64")), "phash64", rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("phash64").as("c_h"))
+    // explicit hot-bucket salting (recall-neutral, same scheme as the
+    // 256-bit path): index buckets split S ways, probes replicated ×S
+    val idx = if (saltFactor <= 1) idx0.withColumn("salt", lit(0))
+      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltFactor)).cast("int"))
 
     val prbBase = conf
       .select(col("ord"), explode(col("phash_variants")).as("v_h"))
-    val prb = bandKeys(prbBase, "v_h", rPrb, chunkBits)
+    val prb0 = bandKeys(prbBase, "v_h", rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
+    val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
+      else prb0.withColumn("salt", explode(lit((0 until saltFactor).toArray)))
 
     // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
     // estimate predates the 8-variant × 8-chunk × mask explosion
-    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val"))
+    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val", "salt"))
       .where(col("q_ord") =!= col("c_ord"))
       .withColumn("dist", hamming64(col("v_h"), col("c_h")))
       .where(col("dist") <= threshold)
@@ -115,8 +121,8 @@ object BandJoin64 {
 
   /** All verified duplicate edges (a < b, minimal dist per pair). */
   def edges(sig: DataFrame, threshold: Int = DefaultThreshold,
-            chunkBits: Int = BitsPerChunk): DataFrame =
-    fuzzyEdges(sig, threshold, chunkBits)
+            chunkBits: Int = BitsPerChunk, saltFactor: Int = 1): DataFrame =
+    fuzzyEdges(sig, threshold, chunkBits, saltFactor)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

@@ -249,6 +249,17 @@ class LshSpec extends AnyFunSuite {
     assert(e8.nonEmpty)
   }
 
+  test("u64 salted band join is recall-neutral (S=1 == S=4)") {
+    val r = new java.util.Random(17)
+    val hashes = Seq.fill(600)(r.nextLong()) ++
+      Seq.tabulate(5)(i => flipBits64(0x0123456789abcdefL, r, i * 3))
+    val sig = sigFrame64(hashes)
+    def es(s: Int) = graft.lsh.BandJoin64.edges(sig, saltFactor = s).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(es(1) == es(4))
+    assert(es(1).nonEmpty)
+  }
+
   test("u64 low-confidence rows only match exactly") {
     val r = new java.util.Random(12)
     val base = r.nextLong()

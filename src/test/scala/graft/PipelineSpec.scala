@@ -218,6 +218,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics("decode:gray-raw:too_small") == 1.0, metrics.toString)
   }
 
+  test("contentStar groups byte-identical undecodable rows (off by default)") {
+    import spark.implicits._
+    val corrupt = Array[Byte](1, 2, 3, 4, 5)
+    val ok = rows.head
+    val images = Seq(
+      (ok.image_id, ok.bytes, ok.w, ok.h, ok.fmt, ok.caption, ok.phash),
+      ("corrupt-a", corrupt, 10, 10, "jpg", "c", 0L),
+      ("corrupt-b", corrupt, 10, 10, "jpg", "c", 0L), // identical bytes
+      ("corrupt-c", Array[Byte](9, 9, 9), 10, 10, "jpg", "c", 0L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-cstar1").toString
+    val off = Pipeline.run(spark, images, s"$d1/work", Threshold)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(!off.contains("corrupt-a"),
+      "reference parity: undecodable rows must not group by default")
+    val d2 = java.nio.file.Files.createTempDirectory("graft-cstar2").toString
+    val on = Pipeline.run(spark, images, s"$d2/work", Threshold,
+      contentStar = true)
+    val comps = on.select("image_id", "comp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comps.contains("corrupt-a") && comps("corrupt-a") == comps("corrupt-b"),
+      "byte-identical undecodable rows must group with contentStar on")
+    assert(!comps.contains("corrupt-c"), "distinct corrupt bytes must stay solo")
+  }
+
   test("checkpoint resume is idempotent (no recompute on second run)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
