@@ -95,6 +95,41 @@ class IncrementalSpec extends AnyFunSuite {
       "some ord has != 16 band keys — double append or truncation")
   }
 
+  test("incremental into an EMPTY corpus behaves like a batch run") {
+    // maxOrd falls back to -1 (round-1 ADVICE low): ords start at 0 and
+    // the delta self-joins like a batch pipeline would
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-empty").toString
+    val empty = Seq.empty[(String, Array[Byte], Int, Int, String, String, Long)]
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    Pipeline.run(spark, empty, s"$base/corpus-work", Threshold)
+    val some = rows.take(12)
+    val inc = Incremental.run(spark, toDF(some),
+      s"$base/corpus-work", s"$base/delta-work", Threshold)
+    val batch = Pipeline.run(spark, toDF(some), s"$base/batch-work", Threshold)
+    assert(groupsOf(inc) == groupsOf(batch))
+  }
+
+  test("concurrent deltas from the same base version are refused") {
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-race").toString
+    val (corpus, delta) = rows.zipWithIndex.partition(_._2 % 3 != 0)
+    Pipeline.run(spark, toDF(corpus.map(_._1)), s"$base/corpus-work", Threshold)
+    Incremental.run(spark, toDF(delta.map(_._1).take(6)),
+      s"$base/corpus-work", s"$base/delta-a", Threshold)
+    // delta-b pinned base version 0 manually (simulating a run that
+    // started before delta-a committed): its commit of v1 must be refused
+    val fsys = new org.apache.hadoop.fs.Path(s"$base/delta-b")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$base/delta-b"))
+    val out = fsys.create(new org.apache.hadoop.fs.Path(s"$base/delta-b/_base_version"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      Incremental.run(spark, toDF(delta.map(_._1).drop(6).take(6)),
+        s"$base/corpus-work", s"$base/delta-b", Threshold)
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+  }
+
   test("chained deltas: two sequential increments == one full batch run") {
     // round-1 ADVICE (high): a second delta must see the first delta's
     // signatures/components, not stale v0 state — otherwise ords collide

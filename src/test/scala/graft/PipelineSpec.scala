@@ -243,6 +243,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(!comps.contains("corrupt-c"), "distinct corrupt bytes must stay solo")
   }
 
+  test("all-undecodable corpus completes with zero groups (degenerate input)") {
+    import spark.implicits._
+    val images = (0 until 20).map(i =>
+      (s"bad-$i", Array[Byte](i.toByte, 1, 2), 10, 10, "jpg", s"cap $i", 0L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val dir = java.nio.file.Files.createTempDirectory("graft-allbad").toString
+    val grouped = Pipeline.run(spark, images, s"$dir/work", Threshold)
+    assert(grouped.count() == 0, "no hashes ⇒ no groups (reference parity)")
+    val metrics = spark.read.parquet(s"$dir/work/_metrics")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics("decode_failures") == 20.0)
+  }
+
   test("checkpoint resume is idempotent (no recompute on second run)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
