@@ -322,9 +322,9 @@ object Incremental {
           .unionByName(patch)
       else patch
     val allSig = if (fullOutput) corpusSig.unionByName(deltaSig) else {
-      val ids = comps.select(col("id"))
+      val ids = comps.select(col("id").as("_member_id"))
       corpusSig.unionByName(deltaSig)
-        .join(ids, corpusSig("ord") === ids("id"), "left_semi")
+        .join(ids, col("ord") === col("_member_id"), "left_semi")
     }
 
     val (grouped, _) = ckpt.stage("groups")(registryPath match {
