@@ -165,7 +165,11 @@ object BandJoin {
     // split the probe radius to minimize total exploded rows: the probe
     // side is 8× heavier (one row per dihedral variant), so weigh it 8×.
     // 16-bit chunks, tol=2 → (2,0): 137+8 rows/chunk vs (1,1): 17+136 —
-    // and the shuffled probe side stays minimal. Feasibility (per-side mask
+    // and the shuffled probe side stays minimal. The same choice also
+    // minimizes JOIN COLLISIONS: expected collisions scale with the mask
+    // PRODUCT |B(rIdx)|·|B(rPrb)| (each side lands in that many buckets),
+    // and the product is minimized at the extremes — (2,0): 137·1 vs
+    // (1,1): 17·17=289. One-sided radius wins on both counts. Feasibility (per-side mask
     // cap) is checked ARITHMETICALLY before any mask array materializes, so
     // an infeasible width/threshold combination fails fast (maskCount grows
     // as C(bits, tol) — e.g. 64-bit chunks at threshold 63 would need ~10¹³
