@@ -124,22 +124,21 @@ object CorpusState {
   }
 
   /** The live components table at version `v`: base rows overridden by
-    * the HIGHEST-version patch containing each id (merge-on-read). */
+    * the HIGHEST-version patch containing each id (merge-on-read). With
+    * no patch layers the base is returned as-is — no resolve shuffle. */
   def readComponents(spark: SparkSession, corpusWork: String, v: Int): DataFrame = {
     val (base, start) = latestSnapshot(spark, corpusWork, v) match {
       case Some(k) => (snapCompPath(corpusWork, k), k + 1)
       case None => (s"$corpusWork/components", 1)
     }
-    val withVer = (start to v).foldLeft(
-      spark.read.parquet(base).select(col("id"), col("comp"))
-        .withColumn("ver", lit(0))) { (acc, k) =>
-      val p = compPatchPath(corpusWork, k)
-      if (exists(spark, p))
-        acc.unionByName(spark.read.parquet(p)
-          .select(col("id"), col("comp")).withColumn("ver", lit(k)))
-      else acc
-    }
-    withVer.groupBy("id")
+    val baseDf = spark.read.parquet(base).select(col("id"), col("comp"))
+    val patches = (start to v).map(k => k -> compPatchPath(corpusWork, k))
+      .filter(p => exists(spark, p._2))
+    if (patches.isEmpty) baseDf
+    else patches.foldLeft(baseDf.withColumn("ver", lit(0))) { case (acc, (k, p)) =>
+      acc.unionByName(spark.read.parquet(p)
+        .select(col("id"), col("comp")).withColumn("ver", lit(k)))
+    }.groupBy("id")
       .agg(max(struct(col("ver"), col("comp"))).as("m"))
       .select(col("id"), col("m.comp").as("comp"))
   }

@@ -26,6 +26,13 @@ object SignatureKernel {
     val contentHash = sha.digest(row.bytes)
     val (decoded, status) = ImageCodec.decodeWithStatus(row.bytes, row.fmt, row.w, row.h)
     val minhash = MinHash.signature(row.caption)
+    // EXIF rides the same pass over the bytes already in hand — a second
+    // full-corpus byte scan for features would be a non-starter at 100 TB
+    val exif = Exif.fromJpeg(row.bytes)
+    val (ori, ets, glat, glon) = exif match {
+      case Some(e) => (e.orientation, e.timestamp, e.lat, e.lon)
+      case None => (None, None, None, None)
+    }
     decoded match {
       case Some(d) if d.w >= Pdq.MinHashableDim && d.h >= Pdq.MinHashableDim =>
         sha.reset()
@@ -41,7 +48,8 @@ object SignatureKernel {
           low_conf = quality < MinQuality, variants = variants,
           phash64 = ph, phash_variants = PHash.dihedral(ph),
           minhash = minhash, caption = row.caption, has_pdq = true,
-          fmt = row.fmt, decode_status = status)
+          fmt = row.fmt, decode_status = status,
+          orientation = ori, exif_ts = ets, gps_lat = glat, gps_lon = glon)
       case _ =>
         // decode failure or sub-5px (pdqhash.rs:167-169): row keeps flowing,
         // matchable only via content hash
@@ -50,7 +58,8 @@ object SignatureKernel {
           variants = Array.empty, phash64 = 0L, phash_variants = Array.empty,
           minhash = minhash, caption = row.caption, has_pdq = false,
           fmt = row.fmt,
-          decode_status = if (decoded.isDefined) "too_small" else status)
+          decode_status = if (decoded.isDefined) "too_small" else status,
+          orientation = ori, exif_ts = ets, gps_lat = glat, gps_lon = glon)
     }
   }
 

@@ -32,7 +32,14 @@ final case class Signature(
     caption: String,
     has_pdq: Boolean,               // false when decode failed or dims < 5px
     fmt: String,                    // input fmt (per-fmt decode metrics)
-    decode_status: String           // ok | too_small | error | unsupported
+    decode_status: String,          // ok | too_small | error | unsupported
+    // EXIF parsed from the bytes in the SAME kernel pass (decode-once,
+    // scanner.rs:107-192 parses EXIF during the main scan) — None/absent
+    // when the container has no APP1 block
+    orientation: Option[Int],       // tag 0x0112, 1-8
+    exif_ts: Option[Long],          // DateTimeOriginal → epoch seconds UTC
+    gps_lat: Option[Double],        // DMS rationals → signed decimal
+    gps_lon: Option[Double]
 )
 
 /** Verified duplicate edge (canonical ord_a < ord_b). */

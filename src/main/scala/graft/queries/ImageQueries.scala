@@ -24,8 +24,8 @@ object ImageQueries {
     if (corpusDir == null) {
       // vN suffix = corpus/schema version: bumping it invalidates the
       // cached corpus + kernel checkpoint when Signature gains columns or
-      // Synth output changes (v3: EXIF embedded in JPEG rows)
-      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v3"
+      // Synth output changes (v4: EXIF columns in Signature)
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v4"
       val marker = new org.apache.hadoop.fs.Path(s"$dir/images/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) Synth.generate(spark, NBases, dir)
@@ -125,18 +125,18 @@ object ImageQueries {
   }
 
   /** S8/P15/P16 off REAL bytes — EXIF parsed from the JPEG APP1 segment
-    * (kernel/Exif.scala), timestamps re-parsed and GPS DMS already decimal;
-    * proves the byte-level parser against the embedded fixture values. */
-  def qImgExif(spark: SparkSession, dir: String): DataFrame = {
-    val d = corpus(spark)
-    val feats = graft.kernel.ExifFeatures.features(spark, Synth.readImages(spark, d))
-    feats
-      .select(col("image_id"), col("has_exif").cast("int").as("has_exif"),
-        col("orientation"), col("exif_str"), col("exif_ts"),
-        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
-        to_timestamp(col("exif_str"), "yyyy:MM:dd HH:mm:ss").as("parsed_ts"))
+    * in the SAME kernel pass as decode (Signature.orientation/exif_ts/
+    * gps_*; no second byte scan), timestamps round-tripped through the
+    * EXIF string format. */
+  def qImgExif(spark: SparkSession, dir: String): DataFrame =
+    sigs(spark)
+      .select(col("image_id"),
+        col("orientation").isNotNull.cast("int").as("has_exif"),
+        col("orientation"), col("exif_ts"),
+        round(col("gps_lat"), 6).as("lat"), round(col("gps_lon"), 6).as("lon"),
+        date_format(timestamp_seconds(col("exif_ts")),
+          "yyyy:MM:dd HH:mm:ss").as("exif_str"))
       .orderBy("image_id")
-  }
 
   /** P17/P18 + T3 — the enrichment pass over REAL parsed EXIF: country via
     * broadcast point-in-polygon, sun azimuth/altitude from GPS + EXIF
@@ -145,9 +145,9 @@ object ImageQueries {
     * table (scanner.rs:2566-2731's background enrichment). */
   def qImgEnriched(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = corpus(spark)
-    val feats = graft.kernel.ExifFeatures.features(spark, Synth.readImages(spark, d))
-      .where(col("has_exif"))
+    val feats = sigs(spark).where(col("orientation").isNotNull)
+      .select(col("image_id"), col("orientation"), col("exif_ts"),
+        col("gps_lat").as("lat"), col("gps_lon").as("lon"))
     // quadrant "countries" covering the synth GPS grid — the boundary
     // table is a query input in this engine (the reference bundles ODbL
     // polygons; same operator, fixture polygons)

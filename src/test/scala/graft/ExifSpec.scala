@@ -116,6 +116,23 @@ class ExifSpec extends AnyFunSuite {
     info(s"checked $checked synth JPEGs")
   }
 
+  test("signature kernel carries EXIF columns from the same pass (decode-once)") {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val rows = (0L until 6L).flatMap(Synth.rowsForBase)
+    rows.foreach { r =>
+      val sig = graft.kernel.SignatureKernel.computeOne(
+        graft.model.ImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash), sha)
+      if (r.fmt == "jpg") {
+        val want = Synth.exifFor(r.group_id, r.variant)
+        assert(sig.orientation == want.orientation, r.image_id)
+        assert(sig.exif_ts == want.timestamp, r.image_id)
+        assert(math.abs(sig.gps_lat.get - want.lat.get) < 1e-6, r.image_id)
+      } else {
+        assert(sig.orientation.isEmpty && sig.exif_ts.isEmpty, r.image_id)
+      }
+    }
+  }
+
   test("ExifFeatures kernel extracts over a DataFrame (S8 as an operator)") {
     import spark.implicits._
     val rows = (0L until 8L).flatMap(Synth.rowsForBase)
