@@ -72,9 +72,10 @@ object CorpusState {
     }
   }
 
-  private def writeFile(spark: SparkSession, p: String, content: String): Unit = {
+  private def writeFile(spark: SparkSession, p: String, content: String,
+                        overwrite: Boolean = true): Unit = {
     val f = fs(spark, p)
-    val out = f.create(new Path(p), true)
+    val out = f.create(new Path(p), overwrite)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -90,18 +91,34 @@ object CorpusState {
     readFile(spark, marker(corpusWork, v))
 
   /** Commit version `v` on behalf of `deltaWork`. Idempotent for the same
-    * owner; refuses a version already committed by a different owner. */
+    * owner; refuses a version already committed by a different owner. The
+    * marker is created EXCLUSIVELY (no overwrite), so two racers can't
+    * both believe they won — the loser's create throws and the conflict
+    * surfaces on re-read. */
   def commit(spark: SparkSession, corpusWork: String, v: Int,
-             deltaWork: String): Unit =
+             deltaWork: String): Unit = {
+    def refuse(prev: String): Nothing =
+      throw new IllegalStateException(
+        s"corpus state v$v was committed by $prev while $deltaWork was " +
+          "running — concurrent incremental runs from the same base are " +
+          "not supported; re-run against the current state")
     owner(spark, corpusWork, v) match {
       case Some(prev) if prev == deltaWork => // resume — already committed
-      case Some(prev) =>
-        throw new IllegalStateException(
-          s"corpus state v$v was committed by $prev while $deltaWork was " +
-            "running — concurrent incremental runs from the same base are " +
-            "not supported; re-run against the current state")
-      case None => writeFile(spark, marker(corpusWork, v), deltaWork)
+      case Some(prev) => refuse(prev)
+      case None =>
+        try writeFile(spark, marker(corpusWork, v), deltaWork, overwrite = false)
+        catch {
+          case _: java.io.IOException =>
+            // lost the create race — whoever won owns the version
+            owner(spark, corpusWork, v) match {
+              case Some(prev) if prev == deltaWork =>
+              case Some(prev) => refuse(prev)
+              case None => throw new IllegalStateException(
+                s"marker create for corpus state v$v failed without an owner")
+            }
+        }
     }
+  }
 
   /** Latest version ≤ v carrying a compaction snapshot, if any. */
   private def latestSnapshot(spark: SparkSession, corpusWork: String,
@@ -112,7 +129,9 @@ object CorpusState {
 
   /** The live signatures table at version `v`: snapshot-or-base plus all
     * later delta segments (plain union — ords are disjoint, rows
-    * immutable). */
+    * immutable). Missing columns fill with null so segments written by
+    * OLDER kernel schemas keep reading after Signature gains columns —
+    * the Iceberg schema-evolution behavior. */
   def readSignatures(spark: SparkSession, corpusWork: String, v: Int): DataFrame = {
     val (base, start) = latestSnapshot(spark, corpusWork, v) match {
       case Some(k) => (snapSigPath(corpusWork, k), k + 1)
@@ -120,7 +139,8 @@ object CorpusState {
     }
     val segs = (start to v).map(sigDeltaPath(corpusWork, _))
       .filter(exists(spark, _))
-    (base +: segs).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    (base +: segs).map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The live components table at version `v`: base rows overridden by
@@ -134,6 +154,10 @@ object CorpusState {
     val baseDf = spark.read.parquet(base).select(col("id"), col("comp"))
     val patches = (start to v).map(k => k -> compPatchPath(corpusWork, k))
       .filter(p => exists(spark, p._2))
+    if (patches.size > 32)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"corpus state has ${patches.size} merge-on-read component layers — " +
+          "run CorpusState.compact to fold them into a snapshot")
     if (patches.isEmpty) baseDf
     else patches.foldLeft(baseDf.withColumn("ver", lit(0))) { case (acc, (k, p)) =>
       acc.unionByName(spark.read.parquet(p)
@@ -320,9 +344,13 @@ object Incremental {
         oldComps.join(patch.select("id"), Seq("id"), "left_anti")
           .unionByName(patch)
       else patch
-    val allSig = if (fullOutput) corpusSig.unionByName(deltaSig) else {
+    // allowMissingColumns: a corpus whose signatures predate a Signature
+    // schema extension still merges (older columns null-fill)
+    val allSig = if (fullOutput)
+      corpusSig.unionByName(deltaSig, allowMissingColumns = true)
+    else {
       val ids = comps.select(col("id").as("_member_id"))
-      corpusSig.unionByName(deltaSig)
+      corpusSig.unionByName(deltaSig, allowMissingColumns = true)
         .join(ids, col("ord") === col("_member_id"), "left_semi")
     }
 
