@@ -389,7 +389,16 @@ object Incremental {
         .parquet(CorpusState.compPatchPath(corpusWork, newVer))
     }
     CorpusState.commit(spark, corpusWork, newVer, deltaWork)
-    BandIndex.append(deltaSig, indexPath,
+    // Re-check the index ceiling at append time: if this run crashed after
+    // its state commit and a LATER run's audit already self-healed the gap
+    // (seg_repair_*), the delta's ords are in the index under the repair
+    // segment — appending them again under the canonical name would break
+    // the keys-per-ord invariant (probe stays correct via groupBy/min, but
+    // probe cost inflates until compact). Only ords above the current
+    // ceiling append; ord assignment is monotone so a covering max means
+    // covered rows.
+    val coveredOrd = BandIndex.maxOrd(spark, indexPath)
+    BandIndex.append(deltaSig.where(col("ord") > coveredOrd), indexPath,
       segName = s"seg_delta_${deltaToken(deltaWork)}")
 
     ckpt.flush()

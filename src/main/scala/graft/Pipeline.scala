@@ -77,15 +77,29 @@ object Pipeline {
     * linear star edges on byte-identical `content_hash`, so exact copies
     * of UNDECODABLE files (a corrupt JPEG uploaded twice, a JXL slice
     * with no codec) still dedup — what a training-data pipeline wants. */
+  /** `threshold` < 0 ⇒ the algorithm's own default: 40 for pdq
+    * (phdupes.rs:353-355), 15 for phash (MAX_SIMILARITY_64,
+    * hamminghash.rs:5). A phash threshold above 15 is refused outright —
+    * over 64-bit hashes E[dist] of a random pair is 32, so the PDQ default
+    * 40 would match ~97% of random pairs and collapse the corpus into one
+    * giant component (the reference enforces the same cap). */
   def run(spark: SparkSession, images: DataFrame, workDir: String,
-          threshold: Int = DefaultThreshold,
+          threshold: Int = -1,
           registryPath: Option[String] = None,
-          chunkBits: Int = graft.lsh.BandJoin.BitsPerChunk,
+          chunkBits: Int = 0,
           algorithm: String = "pdq",
-          phashChunkBits: Int = graft.lsh.BandJoin64.BitsPerChunk,
+          phashChunkBits: Int = 0,
           contentStar: Boolean = false): DataFrame = {
     require(algorithm == "pdq" || algorithm == "phash",
       s"unknown algorithm '$algorithm' (pdq | phash)")
+    val thr =
+      if (threshold >= 0) threshold
+      else if (algorithm == "phash") graft.lsh.BandJoin64.DefaultThreshold
+      else DefaultThreshold
+    require(algorithm != "phash" || thr <= graft.lsh.BandJoin64.DefaultThreshold,
+      s"phash threshold $thr > ${graft.lsh.BandJoin64.DefaultThreshold} " +
+        "(MAX_SIMILARITY_64, hamminghash.rs:5) — over 64-bit hashes a " +
+        "higher cap matches most random pairs")
     val ckpt = new Ckpt(spark, workDir)
 
     val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
@@ -109,8 +123,8 @@ object Pipeline {
     val (edges, edgesHit) = ckpt.stage("edges")({
       val hashEdges =
         if (algorithm == "phash")
-          graft.lsh.BandJoin64.edges(sig, threshold, phashChunkBits)
-        else BandJoin.edges(sig, threshold, chunkBits = chunkBits)
+          graft.lsh.BandJoin64.edges(sig, thr, phashChunkBits)
+        else BandJoin.edges(sig, thr, chunkBits = chunkBits)
       if (!contentStar) hashEdges
       else {
         // linear star on byte identity (hub = min ord per content_hash)

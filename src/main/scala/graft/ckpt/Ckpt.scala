@@ -82,9 +82,13 @@ final class Ckpt(spark: SparkSession, workDir: String) {
       pendingMetrics.clear()
     }
     if (pendingPartLineage.nonEmpty) {
+      // _lineage_files, not the pre-r3 _lineage_partitions: that table's
+      // schema changed (partition_id:int → file:string) and SaveMode.Append
+      // into the old directory would mix schemas when resuming a work dir
+      // written by an older build — a new directory name versions the schema
       pendingPartLineage.toSeq.toDF("stage", "file", "rows")
         .coalesce(1).write.mode(SaveMode.Append)
-        .parquet(s"$workDir/_lineage_partitions")
+        .parquet(s"$workDir/_lineage_files")
       pendingPartLineage.clear()
     }
   }
@@ -92,5 +96,5 @@ final class Ckpt(spark: SparkSession, workDir: String) {
   def lineage: DataFrame = spark.read.parquet(s"$workDir/_lineage")
   def metrics: DataFrame = spark.read.parquet(s"$workDir/_metrics")
   def partitionLineage: DataFrame =
-    spark.read.parquet(s"$workDir/_lineage_partitions")
+    spark.read.parquet(s"$workDir/_lineage_files")
 }

@@ -122,12 +122,16 @@ object Exif {
       val v = u16(valOff.toInt)
       if (v < 0) None else Some(v)
     }
-    def rationals(valOff: Long, cnt: Long): Option[Array[Double]] =
+    // `signed`: SRATIONAL (type 10) numerator/denominator are s32 — read
+    // as u32 they render e.g. ExposureBias -1/3 as 4294967295/3
+    def rationals(valOff: Long, cnt: Long, signed: Boolean = false): Option[Array[Double]] =
       if (valOff < 0 || start + valOff + 8 * cnt > end) None
       else Some((0L until cnt).map { k =>
-        val num = u32(valOff.toInt + 8 * k.toInt)
-        val den = u32(valOff.toInt + 8 * k.toInt + 4)
-        if (den == 0) 0.0 else num.toDouble / den.toDouble
+        val numU = u32(valOff.toInt + 8 * k.toInt)
+        val denU = u32(valOff.toInt + 8 * k.toInt + 4)
+        val num = if (signed) numU.toInt.toDouble else numU.toDouble
+        val den = if (signed) denU.toInt.toDouble else denU.toDouble
+        if (den == 0.0) 0.0 else num / den
       }.toArray)
 
     def render(tag: Int, typ: Int, cnt: Long, valOff: Long): Option[String] =
@@ -135,7 +139,7 @@ object Exif {
         case 2 => ascii(valOff, cnt)
         case 3 => shortVal(valOff).map(_.toString)
         case 4 => Some(u32(valOff.toInt).toString)
-        case 5 | 10 => rationals(valOff, cnt).map(_.mkString(","))
+        case 5 | 10 => rationals(valOff, cnt, signed = typ == 10).map(_.mkString(","))
         case 1 | 7 => Some(s"bytes[$cnt]")
         case _ => None
       }

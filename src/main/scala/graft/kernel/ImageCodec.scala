@@ -117,14 +117,24 @@ object ImageCodec {
         bytes(i + 2) == 0xff.toByte) sois += i
       i += 1
     }
-    // for each SOI, the span runs to the LAST EOI before the next SOI (or
-    // end) — nested thumbnails inside EXIF would otherwise truncate it
-    val spans = sois.zipAll(sois.drop(1), -1, bytes.length).collect {
+    // Two candidate spans per SOI: (a) up to the last EOI before the NEXT
+    // SOI, and (b) up to the last EOI before end-of-container. (a) alone
+    // truncates a full-size preview whose own EXIF embeds a thumbnail (the
+    // nested SOI cuts the outer stream before its scan data); (b) alone
+    // over-reads when unrelated previews follow. Trying both, largest
+    // first, decodes whichever stream is actually intact.
+    def lastEoiBefore(s: Int, limit: Int): Int = {
+      var e = math.min(limit, bytes.length) - 2
+      while (e > s && !(bytes(e) == 0xff.toByte && bytes(e + 1) == 0xd9.toByte)) e -= 1
+      e + 2
+    }
+    val spans = sois.zipAll(sois.drop(1), -1, bytes.length).flatMap {
       case (s, limit) if s >= 0 =>
-        var e = math.min(limit, bytes.length) - 2
-        while (e > s && !(bytes(e) == 0xff.toByte && bytes(e + 1) == 0xd9.toByte)) e -= 1
-        (s, e + 2)
-    }.filter { case (s, e) => e - s > 4 }
+        val toNext = (s, lastEoiBefore(s, limit))
+        val toEnd = (s, lastEoiBefore(s, bytes.length))
+        if (toEnd == toNext) Seq(toNext) else Seq(toNext, toEnd)
+      case _ => Seq.empty
+    }.distinct.filter { case (s, e) => e - s > 4 }
     spans.sortBy { case (s, e) => -(e - s) }.iterator
       .take(8) // bound decode attempts on adversarial inputs
       .flatMap { case (s, e) =>

@@ -38,6 +38,32 @@ object BandJoin {
   final val NumChunks = 16
   final val BitsPerChunk = 16
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Confident-row count above which 16-bit chunks degenerate: E[bucket] =
+    * n/2¹⁶, so expected collision volume grows as n²/2¹⁶ per chunk — at
+    * n=10⁷ that is ~10¹⁰ rows before the verify filter. Past this, auto
+    * width switches to 32-bit chunks (the SCALING.md configuration:
+    * Norouzi m ≈ 256/log₂n, CVPR'12). */
+  final val AutoWideCutoff = 10000000L
+
+  /** MIH chunk width from corpus size — used when callers pass
+    * `chunkBits = 0` (auto). 16 = reference parity, right up to ~10⁷
+    * confident rows; 32 = the ≥10⁷ setting (identical edge set by
+    * pigeonhole, proven by LshSpec width-equality). */
+  def autoChunkBits(n: Long): Int = if (n <= AutoWideCutoff) BitsPerChunk else 32
+
+  /** Resolve `chunkBits = 0` (auto) against the confident-row count — one
+    * cheap count job; callers that pin a width skip it. */
+  private def resolveChunkBits(sig: DataFrame, chunkBits: Int): Int =
+    if (chunkBits != 0) chunkBits
+    else {
+      val n = sig.filter(col("has_pdq") && !col("low_conf")).count()
+      val bits = autoChunkBits(n)
+      log.info(s"band join auto chunk width: $n confident rows -> $bits-bit chunks")
+      bits
+    }
+
   /** XOR masks within Hamming radius r of a 16-bit value (r ∈ 0..2 used;
     * r=3 supported for threshold 48..63, scanner.rs:1755-1767). */
   def masks(radius: Int): Array[Int] =
@@ -140,8 +166,8 @@ object BandJoin {
    * Returns (a, b, dist) with a < b.
    */
   def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
-                 chunkBits: Int = BitsPerChunk): DataFrame =
-    bandMatches(sig, threshold, saltFactor, chunkBits)
+                 chunkBits: Int = 0): DataFrame =
+    bandMatches(sig, threshold, saltFactor, resolveChunkBits(sig, chunkBits))
       .withColumn("dist", hammingCols(Seq("v0", "v1", "v2", "v3").map(col),
         Seq("c0", "c1", "c2", "c3").map(col)))
       .where(col("dist") <= threshold)
@@ -245,10 +271,11 @@ object BandJoin {
       .distinct()
   }
 
-  /** All verified duplicate edges (a < b, minimal dist per pair). */
+  /** All verified duplicate edges (a < b, minimal dist per pair).
+    * `chunkBits = 0` auto-selects the MIH width from the corpus size. */
   def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
-            chunkBits: Int = BitsPerChunk): DataFrame =
-    fuzzyEdges(sig, threshold, saltFactor, chunkBits)
+            chunkBits: Int = 0): DataFrame =
+    fuzzyEdges(sig, threshold, saltFactor, resolveChunkBits(sig, chunkBits))
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

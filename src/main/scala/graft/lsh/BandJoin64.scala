@@ -25,6 +25,28 @@ object BandJoin64 {
   final val BitsPerChunk = 8   // hamminghash.rs:39-41
   final val DefaultThreshold = 15 // MAX_SIMILARITY_64, hamminghash.rs:5
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Confident-row count past which 8-bit chunks (256 buckets/chunk)
+    * degenerate toward n²/256 collisions — measured in MillionBench:
+    * 1M random u64s = 99.9 s at 8-bit vs 10.02 s at 16-bit, identical
+    * edge set by pigeonhole. */
+  final val AutoWideCutoff = 100000L
+
+  /** u64 chunk width from corpus size — used when callers pass
+    * `chunkBits = 0` (auto). 8 = reference parity (hamminghash.rs:39-41),
+    * right at n≲10⁵; 16 = the corpus-scale setting. */
+  def autoChunkBits(n: Long): Int = if (n <= AutoWideCutoff) BitsPerChunk else 16
+
+  private def resolveChunkBits(sig: DataFrame, chunkBits: Int): Int =
+    if (chunkBits != 0) chunkBits
+    else {
+      val n = sig.filter(col("has_pdq") && !col("low_conf")).count()
+      val bits = autoChunkBits(n)
+      log.info(s"u64 band join auto chunk width: $n confident rows -> $bits-bit chunks")
+      bits
+    }
+
   /** 64-bit Hamming distance — single codegen'd bit_count. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -57,9 +79,10 @@ object BandJoin64 {
    * `sig` needs: ord, phash64, phash_variants, low_conf, has_pdq.
    */
   def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold,
-                 chunkBits: Int = BitsPerChunk, saltFactor: Int = 1): DataFrame = {
+                 chunkBits0: Int = 0, saltFactor: Int = 1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
+    val chunkBits = resolveChunkBits(sig, chunkBits0)
     val numChunks = 64 / chunkBits
     val tol = threshold / numChunks
     // radius split (see BandJoin.bandMatches): probe side is 8× heavier
@@ -119,10 +142,11 @@ object BandJoin64 {
       .distinct()
   }
 
-  /** All verified duplicate edges (a < b, minimal dist per pair). */
+  /** All verified duplicate edges (a < b, minimal dist per pair).
+    * `chunkBits = 0` auto-selects the width from the corpus size. */
   def edges(sig: DataFrame, threshold: Int = DefaultThreshold,
-            chunkBits: Int = BitsPerChunk, saltFactor: Int = 1): DataFrame =
-    fuzzyEdges(sig, threshold, chunkBits, saltFactor)
+            chunkBits: Int = 0, saltFactor: Int = 1): DataFrame =
+    fuzzyEdges(sig, threshold, resolveChunkBits(sig, chunkBits), saltFactor)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

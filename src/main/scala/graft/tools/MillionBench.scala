@@ -24,10 +24,17 @@ object MillionBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val cpus = if (args.length > 1) args(1).toInt else 32
-    // pdq | phash (u64, 8-bit reference-parity chunks) | phash16 (u64,
-    // 16-bit chunks — the n≥10⁶ setting; identical edges by pigeonhole)
+    // pdq | phash (u64, auto chunk width from corpus size) | phash8 (pin
+    // 8-bit reference-parity chunks) | phash16 (pin 16-bit — identical
+    // edges by pigeonhole). Defaults are the SAFE path now: at 1M hashes
+    // auto resolves to 16-bit (~10 s) instead of the degenerate 8-bit
+    // (measured 99.9 s), closing the round-2 config trap.
     val modeArg = if (args.length > 2) args(2) else "pdq"
-    val phChunkBits = if (modeArg == "phash16") 16 else 8
+    val phChunkBits = modeArg match {
+      case "phash8" => 8
+      case "phash16" => 16
+      case _ => 0 // auto
+    }
     val mode = if (modeArg.startsWith("phash")) "phash" else "pdq"
     val spark = Pipeline.session(s"local[$cpus]", shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -269,7 +269,7 @@ class PipelineSpec extends AnyFunSuite {
     val lineage2 = spark.read.parquet(s"$dir/work/_lineage").count()
     assert(lineage1 == lineage2, "second run recomputed a committed stage")
     // per-partition lineage: partition row counts must sum to stage totals
-    val perStage = spark.read.parquet(s"$dir/work/_lineage_partitions")
+    val perStage = spark.read.parquet(s"$dir/work/_lineage_files")
       .groupBy("stage").sum("rows").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totals = spark.read.parquet(s"$dir/work/_lineage")
