@@ -151,7 +151,7 @@ object Bench {
     // attributable (VERDICT r1 #10): the shared host's neighbors move
     // wall-clock up to 2×; loadavg bounds how noisy this run's window was
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
-      s""""mix":"synth rowsForBase: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif-embedded jpgs)"}"""
+      s""""mix":"synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"}"""
     val shotJson = shotResults.map { case (c, (_, s), l) =>
       f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f}""" }.mkString("[", ",", "]")
     val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f,"shots":$shotJson}"""

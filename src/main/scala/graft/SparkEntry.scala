@@ -123,6 +123,15 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> TQ.sqlAnnLshBuckets(d),
     "q_ann_ivf" -> TQ.sqlAnnIvf(d),
     "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d),
-    "q_substring_dup" -> TQ.sqlSubstringDup(d)
+    "q_substring_dup" -> TQ.sqlSubstringDup(d),
+    // the REAL image pipeline's post-kernel stages, re-derived in DuckDB
+    // from the exported kernel tables (brute-force + recursive-CTE
+    // independent algorithms — see ImageQueries oracle section)
+    "q_img_band_keys" -> IQ.sqlImgBandKeys(d),
+    "q_img_edges" -> IQ.sqlImgEdges(d),
+    "q_img_components" -> IQ.sqlImgComponents(d),
+    "q_img_groups" -> IQ.sqlImgGroups(d),
+    "q_img_dup_pairs" -> IQ.sqlImgDupPairs(d),
+    "q_img_phash_groups" -> IQ.sqlImgPhashGroups(d)
   )
 }

@@ -41,6 +41,52 @@ object Exif {
 
   // ======================== parsing ========================
 
+  /**
+   * Container-aware EXIF extraction — S8 for every format family the
+   * kernel decodes, not just JPEG (scanner.rs:162-192 parses EXIF from
+   * file bytes for all formats; raw_exif.rs:1-358 walks RAW containers):
+   *
+   *  - JPEG: the APP1 "Exif" segment (a TIFF block inside the marker)
+   *  - TIFF: the file IS the TIFF-IFD stream — parse at offset 0
+   *  - RAW (NEF/DNG/CR2/ARW/…): TIFF-based containers — parse at offset
+   *    0; non-TIFF RAW falls back to scanning for an embedded "Exif\0\0"
+   *    block (the in-preview APP1)
+   *  - anything else: sniff the magic bytes and use whichever applies
+   */
+  def fromBytes(bytes: Array[Byte], fmt: String): Option[ExifData] = {
+    def tiffAt0 = parseTiff(bytes, 0, bytes.length)
+    def isTiffHeader = bytes.length >= 8 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M'))
+    fmt.toLowerCase match {
+      case "jpg" | "jpeg" => fromJpeg(bytes)
+      case "tiff" | "tif" => tiffAt0
+      case f if ImageCodec.RawFormats(f) =>
+        if (isTiffHeader) tiffAt0.orElse(scanEmbeddedExif(bytes))
+        else scanEmbeddedExif(bytes)
+      case _ =>
+        if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+          fromJpeg(bytes)
+        else if (isTiffHeader) tiffAt0
+        else None
+    }
+  }
+
+  /** Scan for an embedded "Exif\0\0" marker anywhere in the container and
+    * parse the TIFF block that follows (the RAW fallback path). */
+  private def scanEmbeddedExif(bytes: Array[Byte]): Option[ExifData] = {
+    var i = 0
+    val limit = bytes.length - 10
+    while (i < limit) {
+      if (bytes(i) == 'E' && bytes(i + 1) == 'x' && bytes(i + 2) == 'i' &&
+        bytes(i + 3) == 'f' && bytes(i + 4) == 0 && bytes(i + 5) == 0) {
+        val r = parseTiff(bytes, i + 6, bytes.length)
+        if (r.isDefined) return r
+      }
+      i += 1
+    }
+    None
+  }
+
   /** Extract EXIF from a JPEG byte stream (APP1 "Exif\0\0" segment). */
   def fromJpeg(bytes: Array[Byte]): Option[ExifData] = {
     if (bytes.length < 4 || bytes(0) != 0xff.toByte || bytes(1) != 0xd8.toByte)
@@ -195,7 +241,7 @@ object Exif {
   }
 
   /** DMS split for the writer: decimal degrees → (deg, min, sec×100/100). */
-  private def toDms(dec: Double): (Long, Long, Long, Long) = {
+  private[kernel] def toDms(dec: Double): (Long, Long, Long, Long) = {
     val a = math.abs(dec)
     val d = a.toLong
     val mFull = (a - d) * 60.0

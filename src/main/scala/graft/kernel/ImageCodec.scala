@@ -4,8 +4,12 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
-/** Decoded image: row-major pixels. `argb` is packed 0xAARRGGBB. */
-final case class DecodedImage(w: Int, h: Int, argb: Array[Int]) {
+/** Decoded image: row-major pixels. `argb` is packed 0xAARRGGBB.
+  * `rgba16` is non-null ONLY for >8-bit sources: the native 16-bit
+  * samples, RGBA-interleaved (4 shorts/pixel) — the precision `argb`
+  * cannot carry and the pixel hash must (scanner.rs:1393-1406). */
+final case class DecodedImage(w: Int, h: Int, argb: Array[Int],
+                              rgba16: Array[Short] = null) {
   /** Rec.601 integer luma plane as floats 0-255 (pdqhash.rs:268-284). */
   def luma601: Array[Float] = {
     val out = new Array[Float](argb.length)
@@ -29,6 +33,39 @@ final case class DecodedImage(w: Int, h: Int, argb: Array[Int]) {
     }
     out
   }
+
+  /** RGBA16 byte stream for pixel-hashing — the reference hashes the
+    * `to_rgba16` buffer precisely so a 16-bit source and its 8-bit
+    * conversion get DIFFERENT pixel hashes (scanner.rs:1393-1406). Native
+    * 16-bit samples hash as-is (big-endian); 8-bit sources widen v→v·257
+    * (the image-crate u8→u16 convention: 0xVV → 0xVVVV, so the two
+    * big-endian bytes are both v). */
+  def pixelHashBytes: Array[Byte] =
+    if (rgba16 != null) {
+      val out = new Array[Byte](rgba16.length * 2)
+      var i = 0
+      while (i < rgba16.length) {
+        out(2 * i) = ((rgba16(i) >> 8) & 0xff).toByte
+        out(2 * i + 1) = (rgba16(i) & 0xff).toByte
+        i += 1
+      }
+      out
+    } else {
+      val out = new Array[Byte](argb.length * 8)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        @inline def put(j: Int, v: Int): Unit = {
+          out(j) = v.toByte; out(j + 1) = v.toByte // v·257 big-endian
+        }
+        put(8 * i, (p >> 16) & 0xff)
+        put(8 * i + 2, (p >> 8) & 0xff)
+        put(8 * i + 4, p & 0xff)
+        put(8 * i + 6, (p >> 24) & 0xff)
+        i += 1
+      }
+      out
+    }
 }
 
 /**
@@ -135,14 +172,20 @@ object ImageCodec {
         if (toEnd == toNext) Seq(toNext) else Seq(toNext, toEnd)
       case _ => Seq.empty
     }.distinct.filter { case (s, e) => e - s > 4 }
-    spans.sortBy { case (s, e) => -(e - s) }.iterator
+    // The reference picks max_by_key(w*h) over DECODED thumbs
+    // (scanner.rs:1353-1380) — byte length alone misleads: a small
+    // preview's SOI followed by a larger stream yields the longest span
+    // but decodes to the small image (a decoder stops at its first EOI).
+    // Decode the top candidates and keep the largest pixel area.
+    val decoded = spans.sortBy { case (s, e) => -(e - s) }.iterator
       .take(8) // bound decode attempts on adversarial inputs
       .flatMap { case (s, e) =>
         try Option(ImageIO.read(new ByteArrayInputStream(
           java.util.Arrays.copyOfRange(bytes, s, e)))).map(fromBuffered)
         catch { case scala.util.control.NonFatal(_) => None }
-      }
-      .nextOption()
+      }.toSeq
+    if (decoded.isEmpty) None
+    else Some(decoded.maxBy(d => d.w.toLong * d.h))
   }
 
   def fromBuffered(img: BufferedImage): DecodedImage = {
@@ -183,6 +226,33 @@ object ImageCodec {
         var i = 0
         while (i < argb.length) { argb(i) = 0xff000000 | data(i); i += 1 }
         DecodedImage(w, h, argb)
+      case _ if img.getRaster.getTransferType == java.awt.image.DataBuffer.TYPE_USHORT =>
+        // >8-bit raster (16-bit TIFF: USHORT_GRAY or custom USHORT RGB):
+        // keep the native 16-bit samples for the pixel hash; argb takes
+        // the high bytes (what an 8-bit conversion of the file would hold,
+        // so PDQ/luma match across depths)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val px = new Array[Int](bands)
+        val argb = new Array[Int](w * h)
+        val r16 = new Array[Short](4 * w * h)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, px)
+            val r = px(0)
+            val g = if (bands >= 3) px(1) else px(0)
+            val b = if (bands >= 3) px(2) else px(0)
+            val a = if (bands >= 4) px(3) else 65535
+            r16(4 * i) = r.toShort; r16(4 * i + 1) = g.toShort
+            r16(4 * i + 2) = b.toShort; r16(4 * i + 3) = a.toShort
+            argb(i) = 0xff000000 | ((r >> 8) << 16) | ((g >> 8) << 8) | (b >> 8)
+            x += 1; i += 1
+          }
+          y += 1
+        }
+        DecodedImage(w, h, argb, r16)
       case _ =>
         DecodedImage(w, h, img.getRGB(0, 0, w, h, null, 0, w))
     }

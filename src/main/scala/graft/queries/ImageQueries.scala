@@ -19,13 +19,18 @@ object ImageQueries {
   private val NBases = 120L
   @volatile private var corpusDir: String = _
 
+  /** Deterministic corpus root — also embedded verbatim in the DuckDB
+    * oracle SQL (the driver's DuckDB process resolves the same path).
+    * The vN suffix versions corpus + kernel schema: bump it when Signature
+    * gains columns or Synth output changes (v5: TIFF/RAW EXIF fixtures +
+    * RGBA16 pixel hash). */
+  def corpusRoot: String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v5"
+
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
     if (corpusDir == null) {
-      // vN suffix = corpus/schema version: bumping it invalidates the
-      // cached corpus + kernel checkpoint when Signature gains columns or
-      // Synth output changes (v4: EXIF columns in Signature)
-      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v4"
+      val dir = corpusRoot
       val marker = new org.apache.hadoop.fs.Path(s"$dir/images/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) Synth.generate(spark, NBases, dir)
@@ -37,8 +42,44 @@ object ImageQueries {
   private def sigs(spark: SparkSession): DataFrame = {
     val dir = corpus(spark)
     val ckpt = new graft.ckpt.Ckpt(spark, s"$dir/work")
-    ckpt.stage("signatures")(
+    val sig = ckpt.stage("signatures")(
       Pipeline.signatures(spark, Synth.readImages(spark, dir)))._1
+    exportOracleTables(spark, dir, sig)
+    sig
+  }
+
+  /**
+   * Flat, DuckDB-readable projections of the committed signatures — the
+   * independent-re-derivation surface for the post-kernel pipeline stages
+   * (round-2 VERDICT #1): DuckDB cannot decode images, but every stage
+   * AFTER the kernel (bands → edges → CC → groups → pairs) is pure
+   * relational algebra over these rows, so the oracle SQL rebuilds each
+   * stage from scratch (brute-force all-pairs where the Spark side uses
+   * the banded join — equality also re-proves exhaustive recall on the
+   * real corpus). Written once per corpus version; arrays are exploded
+   * into child tables so the SQL needs no list-of-list gymnastics.
+   */
+  private def exportOracleTables(spark: SparkSession, dir: String,
+                                 sig: DataFrame): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    sig.select(col("ord"), col("image_id"),
+        col("h0"), col("h1"), col("h2"), col("h3"), col("phash64"),
+        col("low_conf").cast("int").as("low_conf"),
+        col("has_pdq").cast("int").as("has_pdq"),
+        hex(col("content_hash")).as("content_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/sigs")
+    sig.where(col("has_pdq"))
+      .select(col("ord"), posexplode(col("variants")).as(Seq("vi", "v")))
+      .select(col("ord"), col("vi"),
+        col("v").getItem(0).as("v0"), col("v").getItem(1).as("v1"),
+        col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/variants")
+    sig.where(col("has_pdq"))
+      .select(col("ord"), explode(col("phash_variants")).as("pv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/pvariants")
+    fs.create(marker, true).close()
   }
 
   /** S1-S8/P1-P11 — the decode+signature kernel (scalar columns). */
@@ -193,6 +234,136 @@ object ImageQueries {
       .select("image_id", "orientation", "country", "sun_altitude")
       .orderBy("image_id")
   }
+
+  // ======================= DuckDB oracle SQL ========================
+  // Each SQL re-derives its stage from the exported kernel tables with
+  // INDEPENDENT algorithms: brute-force all-pairs Hamming instead of the
+  // banded join, a recursive-CTE walk instead of large-star/small-star.
+  // Equality is therefore both a correctness gate for the relational
+  // stages and an exhaustive-recall proof for the MIH probe on the real
+  // corpus (not just the synthetic-hash fixtures in RelationalQueries).
+
+  private def oSigs = s"read_parquet('$corpusRoot/oracle/sigs/*.parquet')"
+  private def oVars = s"read_parquet('$corpusRoot/oracle/variants/*.parquet')"
+  private def oPVars = s"read_parquet('$corpusRoot/oracle/pvariants/*.parquet')"
+
+  def sqlImgBandKeys(dir: String): String =
+    s"""SELECT s.ord, k AS band_idx,
+       (((CASE (k // 4) WHEN 0 THEN s.h0 WHEN 1 THEN s.h1 WHEN 2 THEN s.h2 ELSE s.h3 END)
+          >> ((k % 4) * 16)) & 65535)::INT AS band_val
+       FROM $oSigs s, (SELECT unnest(range(16))::INT AS k) t
+       WHERE s.has_pdq = 1 ORDER BY s.ord, band_idx"""
+
+  /** Shared CTE block: brute-force edge re-derivation (fuzzy min-over-
+    * 8-dihedral-variants Hamming ≤ threshold among confident rows, plus
+    * the exact distance-0 star over identical stored hashes). */
+  private def imgEdgesCte: String =
+    s"""s AS (SELECT * FROM $oSigs),
+       v AS (SELECT * FROM $oVars),
+       conf AS (SELECT * FROM s WHERE has_pdq = 1 AND low_conf = 0),
+       fz AS (
+         SELECT least(q.ord, c.ord) AS a, greatest(q.ord, c.ord) AS b,
+           min(bit_count(xor(v.v0, c.h0))::INT + bit_count(xor(v.v1, c.h1))::INT +
+               bit_count(xor(v.v2, c.h2))::INT + bit_count(xor(v.v3, c.h3))::INT) AS dist
+         FROM v JOIN conf q ON v.ord = q.ord
+                JOIN conf c ON q.ord <> c.ord
+         GROUP BY 1, 2
+         HAVING min(bit_count(xor(v.v0, c.h0))::INT + bit_count(xor(v.v1, c.h1))::INT +
+                    bit_count(xor(v.v2, c.h2))::INT + bit_count(xor(v.v3, c.h3))::INT)
+                <= ${Pipeline.DefaultThreshold}),
+       hubs AS (SELECT h0, h1, h2, h3, min(ord) AS hub
+         FROM s WHERE has_pdq = 1 GROUP BY 1, 2, 3, 4),
+       ex AS (SELECT DISTINCT least(v.ord, h.hub) AS a,
+           greatest(v.ord, h.hub) AS b, 0 AS dist
+         FROM v JOIN hubs h
+           ON h.h0 = v.v0 AND h.h1 = v.v1 AND h.h2 = v.v2 AND h.h3 = v.v3
+         WHERE v.ord <> h.hub),
+       edges AS (SELECT a, b, min(dist) AS dist
+         FROM (SELECT * FROM fz UNION ALL SELECT * FROM ex) GROUP BY 1, 2)"""
+
+  /** edges → components via recursive walk (comp = min reachable ord). */
+  private def imgCompsCte: String =
+    s"""$imgEdgesCte,
+       sym AS (SELECT a AS src, b AS dst FROM edges
+               UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         UNION
+         SELECT sym.dst, walk.c FROM walk JOIN sym ON sym.src = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n)"""
+
+  def sqlImgEdges(dir: String): String =
+    s"WITH $imgEdgesCte SELECT a, b, dist FROM edges ORDER BY a, b"
+
+  def sqlImgComponents(dir: String): String =
+    s"WITH RECURSIVE $imgCompsCte SELECT id, comp FROM comps ORDER BY id"
+
+  def sqlImgGroups(dir: String): String =
+    s"""WITH RECURSIVE $imgCompsCte,
+       m AS (SELECT comps.comp, comps.id AS ord, s.image_id, s.content_hash,
+               s.h0, s.h1, s.h2, s.h3, s.has_pdq
+             FROM comps JOIN s ON s.ord = comps.id),
+       sizes AS (SELECT comp, count(*) AS group_size FROM m GROUP BY comp),
+       cc AS (SELECT comp, content_hash, count(*) AS dup
+              FROM m GROUP BY 1, 2),
+       st AS (SELECT comp,
+           CASE WHEN count(*) = 1 THEN 'AllIdentical'
+                WHEN max(dup) > 1 THEN 'SomeIdentical' ELSE 'None' END AS status
+         FROM cc GROUP BY comp),
+       pivots AS (SELECT comp, min(ord) AS pid FROM m
+                  WHERE has_pdq = 1 GROUP BY comp),
+       pv AS (SELECT p.comp, v.v0, v.v1, v.v2, v.v3
+              FROM pivots p JOIN v ON v.ord = p.pid),
+       dists AS (SELECT m.comp, m.ord,
+           min(bit_count(xor(m.h0, pv.v0))::INT + bit_count(xor(m.h1, pv.v1))::INT +
+               bit_count(xor(m.h2, pv.v2))::INT + bit_count(xor(m.h3, pv.v3))::INT) AS d
+         FROM m JOIN pv ON pv.comp = m.comp
+         WHERE m.has_pdq = 1 GROUP BY 1, 2),
+       md AS (SELECT comp, coalesce(max(d), 0) AS max_dist FROM dists GROUP BY comp),
+       mem AS (SELECT comp, min(image_id) AS first_member,
+           array_to_string(list_sort(list(image_id)), ',') AS members
+         FROM m GROUP BY comp)
+       SELECT sizes.comp, sizes.group_size,
+         coalesce(md.max_dist, 0)::INT AS max_dist, st.status,
+         mem.first_member, mem.members
+       FROM sizes JOIN st USING (comp) JOIN mem USING (comp)
+            LEFT JOIN md USING (comp)
+       ORDER BY comp"""
+
+  def sqlImgDupPairs(dir: String): String =
+    s"""WITH RECURSIVE $imgCompsCte,
+       m AS (SELECT comps.comp, s.image_id
+             FROM comps JOIN s ON s.ord = comps.id)
+       SELECT x.image_id AS id_a, y.image_id AS id_b
+       FROM m x JOIN m y ON x.comp = y.comp AND x.image_id < y.image_id
+       ORDER BY id_a, id_b"""
+
+  def sqlImgPhashGroups(dir: String): String =
+    s"""WITH RECURSIVE s AS (SELECT * FROM $oSigs),
+       pvar AS (SELECT * FROM $oPVars),
+       conf AS (SELECT * FROM s WHERE has_pdq = 1 AND low_conf = 0),
+       fz AS (SELECT least(q.ord, c.ord) AS a, greatest(q.ord, c.ord) AS b
+         FROM pvar v JOIN conf q ON v.ord = q.ord
+              JOIN conf c ON q.ord <> c.ord
+         GROUP BY 1, 2
+         HAVING min(bit_count(xor(v.pv, c.phash64)))
+                <= ${graft.lsh.BandJoin64.DefaultThreshold}),
+       hubs AS (SELECT phash64, min(ord) AS hub
+         FROM s WHERE has_pdq = 1 GROUP BY 1),
+       ex AS (SELECT DISTINCT least(v.ord, h.hub) AS a, greatest(v.ord, h.hub) AS b
+         FROM pvar v JOIN hubs h ON h.phash64 = v.pv
+         WHERE v.ord <> h.hub),
+       edges AS (SELECT DISTINCT a, b
+         FROM (SELECT * FROM fz UNION ALL SELECT * FROM ex)),
+       sym AS (SELECT a AS src, b AS dst FROM edges
+               UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         UNION
+         SELECT sym.dst, walk.c FROM walk JOIN sym ON sym.src = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n)
+       SELECT comp, count(*)::BIGINT AS n, min(id) AS min_ord, max(id) AS max_ord
+       FROM comps GROUP BY comp ORDER BY comp"""
 
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {

@@ -437,6 +437,11 @@ object Synth {
 
   private def encRow(id: String, d: DecodedImage, fmt: String, cap: String,
                      group: Long, variant: String): SynthRow = {
+    def tiffExif = {
+      val ex = exifFor(group, variant)
+      graft.kernel.TiffExif(ex.orientation.get, ex.dateTimeOriginal.get,
+        ex.lat, ex.lon)
+    }
     val bytes = fmt match {
       case "png" => ImageCodec.encodePng(d)
       case "jpg" | "jpg90" =>
@@ -444,9 +449,21 @@ object Synth {
         val ex = exifFor(group, variant)
         graft.kernel.Exif.spliceIntoJpeg(jpeg, graft.kernel.Exif.buildApp1(
           ex.orientation.get, ex.dateTimeOriginal.get, ex.lat, ex.lon))
+      // TIFF rows carry EXIF in the TIFF IFD itself (no APP1 wrapper) —
+      // the container-aware parse path (Exif.fromBytes) on real bytes
+      case "tiff" => graft.kernel.Tiff.encode(d, 8, Some(tiffExif))
+      case "tiff16" => graft.kernel.Tiff.encode(
+        graft.kernel.Tiff.with16BitJitter(d), 16, Some(tiffExif))
+      // RAW container: TIFF header + EXIF tags + a small thumbnail strip,
+      // then the full-size embedded JPEG preview the decode tier extracts
+      case "nef" =>
+        val thumb = resizeScale(d, 16.0 / math.max(d.w, d.h))
+        graft.kernel.Tiff.encodeRawContainer(thumb,
+          ImageCodec.encodeJpeg(d, 0.90f), Some(tiffExif))
       case "gray-raw" => grayRawBytes(d)
     }
-    val storedFmt = if (fmt == "jpg90") "jpg" else fmt
+    val storedFmt =
+      if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff" else fmt
     // header dims + phash come from what a reader of the *encoded* row sees
     val dec = ImageCodec.decode(bytes, storedFmt, d.w, d.h).getOrElse(d)
     SynthRow(id, bytes, d.w, d.h, storedFmt, cap, phashOf(dec),
@@ -497,7 +514,13 @@ object Synth {
         .map(v => if (v == "resize" && isBoard) "recompress" else v).distinct
       // ~12% of bases also get a crop5 stress variant (may legitimately
       // miss at threshold 40; never counted in the recall denominator)
-      val chosen = if (r.nextInt(100) < 12) chosen0 :+ "crop5" else chosen0
+      val chosen1 = if (r.nextInt(100) < 12) chosen0 :+ "crop5" else chosen0
+      // ~8%: a 16-bit TIFF of the SAME pixels (same PDQ/groups; pixel
+      // hash must differ — the RGBA16 depth axis, scanner.rs:1393-1406)
+      val chosen2 = if (r.nextInt(100) < 8) chosen1 :+ "tiff16" else chosen1
+      // ~10%: a RAW container whose embedded JPEG preview is the image
+      // (decode tier S6 + container EXIF on real bytes)
+      val chosen = if (r.nextInt(100) < 10) chosen2 :+ "rawprev" else chosen2
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -524,8 +547,10 @@ object Synth {
         // the lossy-variant realism axis the fixtures lack
         case "bright" => encRow(id("bright"), photometric(img, 1.0, 24), "jpg90",
           cap, baseId, "bright")
-        case "contrast" => encRow(id("contrast"), photometric(img, 1.25, 0), "png",
+        case "contrast" => encRow(id("contrast"), photometric(img, 1.25, 0), "tiff",
           captionEdited(baseId, 3), baseId, "contrast")
+        case "tiff16" => encRow(id("t16"), img, "tiff16", cap, baseId, "tiff16")
+        case "rawprev" => encRow(id("raw"), img, "nef", cap, baseId, "rawprev")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")

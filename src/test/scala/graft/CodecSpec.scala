@@ -94,6 +94,86 @@ class CodecSpec extends AnyFunSuite {
     assert(status2 == "ok" && d2.get.h == 18)
   }
 
+  test("hand-written TIFF (kernel/Tiff) decodes losslessly and carries EXIF in-IFD") {
+    val src = gradient(40, 30)
+    val exif = graft.kernel.TiffExif(6, "2021:07:04 12:30:45",
+      Some(-33.5), Some(151.25))
+    val bytes = graft.kernel.Tiff.encode(src, 8, Some(exif))
+    val (decoded, status) = ImageCodec.decodeWithStatus(bytes, "tiff", 40, 30)
+    assert(status == "ok", s"decode status $status")
+    assert(decoded.get.argb.sameElements(src.argb), "8-bit TIFF not lossless")
+    val e = graft.kernel.Exif.fromBytes(bytes, "tiff")
+    assert(e.isDefined, "no EXIF parsed from TIFF container")
+    assert(e.get.orientation.contains(6))
+    assert(e.get.dateTimeOriginal.contains("2021:07:04 12:30:45"))
+    assert(math.abs(e.get.lat.get - -33.5) < 1e-4, s"lat ${e.get.lat}")
+    assert(math.abs(e.get.lon.get - 151.25) < 1e-4, s"lon ${e.get.lon}")
+  }
+
+  test("16-bit TIFF: same argb/PDQ as its 8-bit conversion, different pixel hash") {
+    val src = gradient(48, 36)
+    // widened-only 16-bit file (samples exactly v·257): pixel-hash stream
+    // EQUALS the 8-bit source's widened stream — correct reference
+    // behavior (to_rgba16 of the 8-bit file is the same buffer)
+    val widened = graft.kernel.Tiff.encode(src, 16)
+    val (dw, stw) = ImageCodec.decodeWithStatus(widened, "tiff", 48, 36)
+    assert(stw == "ok" && dw.get.rgba16 != null, "16-bit raster not captured")
+    assert(dw.get.argb.sameElements(src.argb))
+    assert(dw.get.pixelHashBytes.sameElements(src.pixelHashBytes),
+      "widened 16-bit samples should hash like the widened 8-bit source")
+    // true 16-bit content (low-byte jitter): same argb ⇒ same PDQ, but the
+    // pixel hash must see the extra precision (scanner.rs:1393-1406)
+    val t16 = graft.kernel.Tiff.encode(graft.kernel.Tiff.with16BitJitter(src), 16)
+    val (d16, st) = ImageCodec.decodeWithStatus(t16, "tiff", 48, 36)
+    assert(st == "ok" && d16.get.rgba16 != null)
+    assert(d16.get.argb.sameElements(src.argb),
+      "argb of a jittered 16-bit TIFF must equal the 8-bit source")
+    assert(!d16.get.pixelHashBytes.sameElements(src.pixelHashBytes),
+      "16-bit precision must reach the pixel hash (scanner.rs:1393-1406)")
+  }
+
+  test("A5 subgroups: 16-bit TIFF splits pixel-identical counts, not groups") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val src = gradient(64, 48)
+    val png = ImageCodec.encodePng(src)
+    // true 16-bit content: low bytes carry precision an 8-bit file can't
+    val t16 = graft.kernel.Tiff.encode(graft.kernel.Tiff.with16BitJitter(src), 16)
+    val images = Seq(
+      ("a-png", png, 64, 48, "png", "cap", 0L),
+      ("b-pngcopy", png, 64, 48, "png", "cap", 0L),
+      ("c-tiff16", t16, 64, 48, "tiff", "cap", 0L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val dir = java.nio.file.Files.createTempDirectory("graft-a5").toString
+    val grouped = graft.Pipeline.run(spark, images, s"$dir/work")
+    val rows = grouped.select("image_id", "comp", "pixel_count_dup")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size == 3, s"all three must group (identical PDQ): $rows")
+    assert(rows.values.map(_._1).toSet.size == 1, "one component expected")
+    assert(rows("a-png")._2 == 2 && rows("b-pngcopy")._2 == 2,
+      s"png pair pixel-identical: $rows")
+    assert(rows("c-tiff16")._2 == 1,
+      s"16-bit member must sit in its own pixel subgroup: $rows")
+  }
+
+  test("RAW container fixture: preview decode + container EXIF (not preview EXIF)") {
+    val src = gradient(96, 72)
+    val exif = graft.kernel.TiffExif(3, "2019:01:15 08:00:00", Some(45.0), Some(-120.5))
+    val thumb = gradient(12, 9)
+    val raw = graft.kernel.Tiff.encodeRawContainer(thumb,
+      ImageCodec.encodeJpeg(src, 0.9f), Some(exif))
+    val (d, status) = ImageCodec.decodeWithStatus(raw, "nef", 96, 72)
+    assert(status == "ok" && d.get.w == 96 && d.get.h == 72,
+      s"preview decode failed: $status ${d.map(x => (x.w, x.h))}")
+    val e = graft.kernel.Exif.fromBytes(raw, "nef")
+    assert(e.isDefined, "no EXIF from RAW container")
+    assert(e.get.orientation.contains(3))
+    assert(e.get.dateTimeOriginal.contains("2019:01:15 08:00:00"))
+    assert(math.abs(e.get.lat.get - 45.0) < 1e-4)
+    assert(math.abs(e.get.lon.get - -120.5) < 1e-4)
+  }
+
   test("status taxonomy: truncated JPEG is error, not unsupported") {
     val good = ImageCodec.encodeJpeg(gradient(32, 32), 0.8f)
     val truncated = java.util.Arrays.copyOf(good, 20)

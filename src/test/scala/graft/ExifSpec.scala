@@ -46,6 +46,48 @@ class ExifSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF-container round trip: all orientations + GPS via Exif.fromBytes") {
+    val argb = Array.tabulate(24 * 18)(i => 0xff000000 | (i * 2654435761L).toInt & 0xffffff)
+    val img = graft.kernel.DecodedImage(24, 18, argb)
+    for (o <- 1 to 8) {
+      val dto = f"2020:03:${o}%02d 17:45:2$o"
+      val (lat, lon) = (o * 5.5 - 20.0, o * 13.25 - 60.0)
+      val bytes = graft.kernel.Tiff.encode(img, 8,
+        Some(graft.kernel.TiffExif(o, dto, Some(lat), Some(lon))))
+      val e = Exif.fromBytes(bytes, "tiff")
+      assert(e.isDefined, s"no EXIF from TIFF at orientation $o")
+      assert(e.get.orientation.contains(o))
+      assert(e.get.dateTimeOriginal.contains(dto))
+      assert(e.get.timestamp.contains(Exif.parseExifTimestamp(dto).get))
+      assert(math.abs(e.get.lat.get - lat) < 1e-4, s"lat ${e.get.lat} != $lat")
+      assert(math.abs(e.get.lon.get - lon) < 1e-4, s"lon ${e.get.lon} != $lon")
+    }
+    // RAW ext: same TIFF block at offset 0 parses through the raw branch
+    val raw = graft.kernel.Tiff.encodeRawContainer(img,
+      ImageCodec.encodeJpeg(img, 0.9f),
+      Some(graft.kernel.TiffExif(5, "2022:11:30 23:59:59", None, None)))
+    val er = Exif.fromBytes(raw, "dng")
+    assert(er.isDefined && er.get.orientation.contains(5))
+    assert(er.get.dateTimeOriginal.contains("2022:11:30 23:59:59"))
+  }
+
+  test("SRATIONAL (type 10) renders signed: ExposureBias -1/3") {
+    // little-endian block: IFD0 with one SRATIONAL entry (tag 0x9204),
+    // value at offset 26: num = -1 (0xFFFFFFFF), den = 3
+    val b = java.nio.ByteBuffer.allocate(34).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    b.putShort(1)
+    b.putShort(0x9204.toShort).putShort(10).putInt(1).putInt(26)
+    b.putInt(0) // next IFD
+    b.putInt(-1).putInt(3)
+    val arr = b.array()
+    val parsed = Exif.parseTiff(arr, 0, arr.length)
+    assert(parsed.isDefined)
+    val rendered = parsed.get.tags(0x9204)
+    assert(rendered.toDouble < 0, s"ExposureBias rendered unsigned: $rendered")
+    assert(math.abs(rendered.toDouble - (-1.0 / 3.0)) < 1e-9, rendered)
+  }
+
   test("big-endian (MM) TIFF block parses") {
     // minimal MM block: header + one IFD with Orientation=6
     val b = java.nio.ByteBuffer.allocate(26)
