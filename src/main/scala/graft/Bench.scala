@@ -49,9 +49,10 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Spawn BenchOne in a fresh JVM; parse its BENCHONE line. */
+  /** Spawn BenchOne in a fresh JVM; parse its BENCHONE line. Returns
+    * (images, sec, stagesJson). */
   private def runIsolated(cpus: Int, corpusDir: String, workDir: String,
-                          reps: Int): (Long, Double) = {
+                          reps: Int): (Long, Double, String) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cmd = Seq(javaBin, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}") ++
       Jdk17AddOpens ++ Seq(
@@ -69,13 +70,15 @@ object Bench {
     })
     errDrain.setDaemon(true); errDrain.start()
     var line = reader.readLine()
-    var result: Option[(Long, Double)] = None
+    var result: Option[(Long, Double, String)] = None
     while (line != null) {
       if (line.startsWith("BENCHONE ")) {
         val json = line.stripPrefix("BENCHONE ")
         val n = "\"images\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
         val s = "\"sec\":([0-9.]+)".r.findFirstMatchIn(json).get.group(1).toDouble
-        result = Some((n, s))
+        val st = "\"stages\":(\\{[^}]*\\})".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("{}")
+        result = Some((n, s, st))
       }
       line = reader.readLine()
     }
@@ -136,6 +139,10 @@ object Bench {
     val t8 = shotResults.filter(_._1 == 4).map(_._2._2).min
     val n32 = shotResults.filter(_._1 == 16).map(_._2._1).head
     val t32 = shotResults.filter(_._1 == 16).map(_._2._2).min
+    // per-stage breakdown of the WINNING shot at each level (round-2
+    // VERDICT #8: a throughput drift must name its stage)
+    val stages8 = shotResults.filter(_._1 == 4).minBy(_._2._2)._2._3
+    val stages32 = shotResults.filter(_._1 == 16).minBy(_._2._2)._2._3
 
     val tp8 = n8 / t8
     val tp32 = n32 / t32
@@ -152,9 +159,10 @@ object Bench {
     // wall-clock up to 2×; loadavg bounds how noisy this run's window was
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
       s""""mix":"synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"}"""
-    val shotJson = shotResults.map { case (c, (_, s), l) =>
+    val shotJson = shotResults.map { case (c, (_, s, _), l) =>
       f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f}""" }.mkString("[", ",", "]")
     val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f,"shots":$shotJson}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"corpus":$corpusMeta,"loadavg":$load}""")
+    val stagesJson = s"""{"local4":$stages8,"local16":$stages32}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"stages":$stagesJson,"corpus":$corpusMeta,"loadavg":$load}""")
   }
 }

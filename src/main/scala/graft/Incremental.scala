@@ -246,11 +246,17 @@ object Incremental {
     * what the equivalence specs compare). At 10¹²-scale pass false to
     * assemble only the groups the delta touched — the state commit is
     * identical either way. */
+  /** `compactEvery`: fold merge-on-read state + index segments into a
+    * snapshot every K committed versions (0 disables). Keeps the layer
+    * stack shallow in steady-state ingest without a manual maintenance
+    * call — the 32-layer read-path warning never fires in normal
+    * operation (round-2 VERDICT #7). */
   def run(spark: SparkSession, deltaImages: DataFrame, corpusWork: String,
           deltaWork: String,
           threshold: Int = Pipeline.DefaultThreshold,
           registryPath: Option[String] = None,
-          fullOutput: Boolean = true): DataFrame = {
+          fullOutput: Boolean = true,
+          compactEvery: Int = 8): DataFrame = {
     val ckpt = new Ckpt(spark, deltaWork)
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
@@ -361,19 +367,13 @@ object Incremental {
         // the UUID any of its members' hashes already carry — so a group
         // that absorbs delta rows keeps its identity across runs
         val assembled = Groups.assemble(allSig, comps)
-        val registry =
-          try spark.read.parquet(regPath)
-          catch {
-            case scala.util.control.NonFatal(_) =>
-              import spark.implicits._
-              Seq.empty[(Long, Long, Long, Long, String)]
-                .toDF("h0", "h1", "h2", "h3", "group_uuid")
-          }
+        val registry = graft.groups.GroupRegistry.read(spark, regPath)
         val assigned = graft.groups.GroupRegistry.assign(assembled, registry)
           .localCheckpoint()
         graft.groups.GroupRegistry.merge(spark, regPath,
           graft.groups.GroupRegistry.registryRows(assembled, assigned))
-        assembled.join(assigned, Seq("comp"), "left")
+        graft.groups.GroupRegistry.suppressIgnored(spark, regPath,
+          assembled.join(assigned, Seq("comp"), "left"))
     })
 
     // --- commit the DELTA-SIZED state as the next corpus version, then
@@ -400,6 +400,15 @@ object Incremental {
     val coveredOrd = BandIndex.maxOrd(spark, indexPath)
     BandIndex.append(deltaSig.where(col("ord") > coveredOrd), indexPath,
       segName = s"seg_delta_${deltaToken(deltaWork)}")
+
+    // periodic maintenance rides the ingest path: snapshot the merged
+    // state, expire folded versions, and fold index segments. All three
+    // are idempotent, so a resumed run re-entering here is harmless.
+    if (compactEvery > 0 && newVer % compactEvery == 0) {
+      CorpusState.compact(spark, corpusWork)
+      CorpusState.gc(spark, corpusWork)
+      BandIndex.compact(spark, indexPath)
+    }
 
     ckpt.flush()
     grouped

@@ -145,21 +145,17 @@ object Pipeline {
       case None => Groups.assemble(sig, comps)
       case Some(regPath) =>
         val assembled = Groups.assemble(sig, comps)
-        val registry =
-          try spark.read.parquet(regPath)
-          catch {
-            case scala.util.control.NonFatal(_) =>
-              import spark.implicits._
-              Seq.empty[(Long, Long, Long, Long, String)]
-                .toDF("h0", "h1", "h2", "h3", "group_uuid")
-          }
-        // materialize the assignment before merging: merge overwrites the
-        // registry files the lazy plan would otherwise still need to read
+        val registry = graft.groups.GroupRegistry.read(spark, regPath)
+        // materialize the assignment before merging (the merge's anti-join
+        // must not race the lazy assignment plan's segment reads)
         val assigned = graft.groups.GroupRegistry.assign(assembled, registry)
           .localCheckpoint()
         graft.groups.GroupRegistry.merge(spark, regPath,
           graft.groups.GroupRegistry.registryRows(assembled, assigned))
-        assembled.join(assigned, Seq("comp"), "left")
+        // db.rs:1277-1336: groups the user dismissed (ignored flag) stay
+        // suppressed on re-runs until the flag clears
+        graft.groups.GroupRegistry.suppressIgnored(spark, regPath,
+          assembled.join(assigned, Seq("comp"), "left"))
     })
     ckpt.flush()
     grouped

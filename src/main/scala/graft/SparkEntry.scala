@@ -26,6 +26,7 @@ object SparkEntry {
     "q_prune_anti_join" -> (RQ.qPruneAntiJoin _),
     "q_cache_join" -> (RQ.qCacheJoin _),
     "q_registry_reuse" -> (RQ.qRegistryReuse _),
+    "q_registry_ignored" -> (RQ.qRegistryIgnored _),
     "q_stem_merge" -> (RQ.qStemMerge _),
     "q_index_probe" -> (RQ.qIndexProbe _),
     "q_greedy_groups" -> (RQ.qGreedyGroups _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_prune_anti_join" -> RQ.sqlPruneAntiJoin(d),
     "q_cache_join" -> RQ.sqlCacheJoin(d),
     "q_registry_reuse" -> RQ.sqlRegistryReuse(d),
+    "q_registry_ignored" -> RQ.sqlRegistryIgnored(d),
     "q_stem_merge" -> RQ.sqlStemMerge(d),
     "q_index_probe" -> RQ.sqlIndexProbe(d),
     "q_greedy_groups" -> RQ.sqlGreedyGroups(d),

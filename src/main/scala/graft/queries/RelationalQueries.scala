@@ -383,6 +383,43 @@ object RelationalQueries {
        FROM groups g LEFT JOIN registry r ON g.comp = r.comp ORDER BY comp"""
 
   // =========================================================================
+  // S11 ignored-group suppression (IgnoredEntry db.rs:236-244 + lookup flow
+  // db.rs:1277-1336): append-only (uuid, ignored, seq) marks, latest seq
+  // wins per uuid, currently-ignored groups drop from assembled output.
+  // Marks here: seq 0 ignores comp%3==0, seq 1 clears comp%6==0 — so
+  // comp%6==0 re-surfaces and only comp%3==0 ∧ comp%6≠0 stays suppressed.
+  // =========================================================================
+  def qRegistryIgnored(spark: SparkSession, dir: String): DataFrame = {
+    val groups = qDupGroups(spark, dir)
+      .select(col("comp"), col("n"), concat(lit("uuid-"), col("comp")).as("uuid"))
+    val marks = groups.where(col("comp") % 3 === 0)
+      .select(col("uuid"), lit(true).as("ignored"), lit(0L).as("seq"))
+      .unionByName(groups.where(col("comp") % 6 === 0)
+        .select(col("uuid"), lit(false).as("ignored"), lit(1L).as("seq")))
+    // the GroupRegistry.ignoredUuids shape: latest mark per uuid wins
+    val ignoredNow = marks.groupBy("uuid")
+      .agg(max(struct(col("seq"), col("ignored"))).as("m"))
+      .where(col("m.ignored"))
+      .select("uuid")
+    groups.join(ignoredNow, Seq("uuid"), "left_anti")
+      .select(col("comp"), col("n"), col("uuid"))
+      .orderBy("comp")
+  }
+  def sqlRegistryIgnored(dir: String): String =
+    s"""WITH RECURSIVE ${sqlEdgesCte(dir)},
+       sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n),
+       groups AS (SELECT comp::BIGINT AS comp, count(*)::BIGINT AS n
+         FROM comps GROUP BY comp HAVING count(*) > 1)
+       SELECT comp, n, 'uuid-' || comp::VARCHAR AS uuid
+       FROM groups WHERE NOT (comp % 3 = 0 AND comp % 6 <> 0)
+       ORDER BY comp"""
+
+  // =========================================================================
   // A4/A5/W2 — window duplicate counts + dense_rank subgroup ids
   // =========================================================================
   def qWindowDupCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -20,12 +20,20 @@ object BenchOne {
     val n = images.count()
     // repeated timed runs, keep the best: the sandbox shares hardware with
     // noisy neighbors (host loadavg >10 while this container idles)
-    val sec = (1 to reps).map { i =>
+    val (bestRep, sec) = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       Pipeline.run(spark, images, s"$workDir/work$i").count()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    println(f"""BENCHONE {"images":$n,"sec":$sec%.3f}""")
+      i -> (System.nanoTime() - t0) / 1e9
+    }.minBy(_._2)
+    // per-stage wall from the winning run's lineage table, so a
+    // round-over-round throughput drift names its stage (kernel vs edges
+    // vs CC vs groups) instead of hiding in the total
+    val stages = spark.read.parquet(s"$workDir/work$bestRep/_lineage")
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    val stagesJson = stages.sortBy(_._1)
+      .map { case (s, ms) => f""""$s":${ms / 1000.0}%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""BENCHONE {"images":$n,"sec":$sec%.3f,"stages":$stagesJson}""")
     spark.stop()
   }
 }

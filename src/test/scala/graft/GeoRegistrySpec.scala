@@ -82,18 +82,57 @@ class GeoRegistrySpec extends AnyFunSuite {
     assert(again == first)
   }
 
-  test("pipeline with registryPath: uuids stable across reruns") {
+  test("pipeline with registryPath: uuids stable across reruns, O(delta) commits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-reg-pipe").toString
+    val regPath = s"$dir/registry"
     val rows = (0L until 20L).flatMap(graft.synth.Synth.rowsForBase)
       .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
     val images = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-    val g1 = Pipeline.run(spark, images, s"$dir/w1", registryPath = Some(s"$dir/registry"))
+    val g1 = Pipeline.run(spark, images, s"$dir/w1", registryPath = Some(regPath))
       .select("image_id", "group_uuid").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val g2 = Pipeline.run(spark, images, s"$dir/w2", registryPath = Some(s"$dir/registry"))
+    val g2 = Pipeline.run(spark, images, s"$dir/w2", registryPath = Some(regPath))
       .select("image_id", "group_uuid").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(g1.nonEmpty && g1 == g2, "group uuids must be stable across runs")
+
+    // O(delta) registry commits (round-2 VERDICT wrong #1): the registry
+    // is segment-append, and an unchanged corpus's second run appends a
+    // ZERO-ROW segment instead of rewriting the table
+    val segs = new java.io.File(regPath).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).sorted
+    assert(segs.length == 2, s"expected 2 delta segments, got ${segs.mkString(",")}")
+    val second = spark.read.parquet(s"$regPath/${segs.last}")
+    assert(second.count() == 0,
+      "second run over an unchanged corpus must append zero registry rows")
+    val firstN = spark.read.parquet(s"$regPath/${segs.head}").count()
+    assert(firstN > 0 && GroupRegistry.read(spark, regPath).count() == firstN)
+  }
+
+  test("ignored groups suppress and re-surface (S11, db.rs:1277-1336)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-ign").toString
+    val regPath = s"$dir/registry"
+    val rows = (0L until 15L).flatMap(graft.synth.Synth.rowsForBase)
+      .map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+    val images = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val g1 = Pipeline.run(spark, images, s"$dir/w1", registryPath = Some(regPath))
+    val uuids = g1.select("group_uuid").distinct().collect().map(_.getString(0))
+    assert(uuids.length >= 2, s"need ≥2 groups, got ${uuids.length}")
+    val victim = uuids.min
+
+    GroupRegistry.setIgnored(spark, regPath, Seq(victim))
+    val g2 = Pipeline.run(spark, images, s"$dir/w2", registryPath = Some(regPath))
+    val u2 = g2.select("group_uuid").distinct().collect().map(_.getString(0)).toSet
+    assert(!u2.contains(victim), "ignored group must not resurface")
+    assert(u2.size == uuids.length - 1, "only the ignored group may disappear")
+
+    // clearing the flag re-surfaces the group (latest mark wins)
+    GroupRegistry.setIgnored(spark, regPath, Seq(victim), ignored = false)
+    val g3 = Pipeline.run(spark, images, s"$dir/w3", registryPath = Some(regPath))
+    val u3 = g3.select("group_uuid").distinct().collect().map(_.getString(0)).toSet
+    assert(u3.contains(victim), "cleared flag must re-surface the group")
+    assert(u3 == uuids.toSet)
   }
 }

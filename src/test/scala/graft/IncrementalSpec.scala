@@ -180,4 +180,37 @@ class IncrementalSpec extends AnyFunSuite {
     assert(sigAfter == sigBefore, "compaction changed the signature view")
     assert(compAfter == compBefore, "compaction changed the component view")
   }
+
+  test("auto-compact every K deltas keeps the layer stack shallow") {
+    // 9 chained deltas with compactEvery=3: snapshots at v3/v6/v9 + gc
+    // must keep on-disk state_v* dirs bounded by K and index segments
+    // folded, while the merged result still equals a full batch run
+    val base = java.nio.file.Files.createTempDirectory("graft-autocompact").toString
+    val all = (0L until 23L).flatMap(Synth.rowsForBase)
+    val corpus = all.take(5)
+    val deltas = all.drop(5).grouped(math.max((all.size - 5) / 9, 1)).toSeq.take(9)
+
+    Pipeline.run(spark, toDF(corpus), s"$base/corpus-work", Threshold)
+    var last: org.apache.spark.sql.DataFrame = null
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      last = Incremental.run(spark, toDF(d), s"$base/corpus-work",
+        s"$base/delta-$i", Threshold, compactEvery = 3)
+    }
+    val nVersions = CorpusState.version(spark, s"$base/corpus-work")
+    assert(nVersions == deltas.size, s"expected ${deltas.size} versions, got $nVersions")
+
+    val stateDirs = new java.io.File(s"$base/corpus-work").listFiles()
+      .map(_.getName).filter(_.startsWith("state_v"))
+    assert(stateDirs.length <= 3,
+      s"auto-compact left ${stateDirs.length} state dirs: ${stateDirs.mkString(",")}")
+    val idxSegs = new java.io.File(s"$base/corpus-work/band_index").listFiles()
+      .map(_.getName).filter(_.startsWith("seg_"))
+    assert(idxSegs.length <= 2,
+      s"auto-compact left ${idxSegs.length} index segments: ${idxSegs.mkString(",")}")
+
+    val full = Pipeline.run(spark, toDF(corpus ++ deltas.flatten),
+      s"$base/full-work", Threshold)
+    assert(groupsOf(last) == groupsOf(full),
+      "auto-compacted chain diverged from the full batch run")
+  }
 }
