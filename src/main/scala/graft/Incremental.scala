@@ -286,7 +286,18 @@ object Incremental {
 
     val corpusSig = CorpusState.readSignatures(spark, corpusWork, baseVer)
     val indexPath = s"$corpusWork/band_index"
-    if (!BandIndex.exists(spark, indexPath)) BandIndex.build(corpusSig, indexPath)
+    if (!BandIndex.exists(spark, indexPath)) {
+      // index chunk width: wide (32-bit) only when the corpus is past the
+      // 16-bit degeneracy cutoff AND the probe ball still fits the mask
+      // cap at this threshold (radius-0 index ⇒ whole ball probe-side;
+      // 32-bit needs threshold ≤ 31). Same auto rule as the batch joins.
+      val nConf = corpusSig.filter(col("has_pdq") && !col("low_conf")).count()
+      val bits =
+        if (nConf > BandJoin.AutoWideCutoff &&
+          BandJoin.maskCount(threshold / 8, 32) <= BandJoin.MaxMasksPerSide) 32
+        else BandJoin.BitsPerChunk
+      BandIndex.build(corpusSig, indexPath, chunkBits = bits)
+    }
 
     val maxOrd = {
       val r = corpusSig.agg(max("ord")).head()

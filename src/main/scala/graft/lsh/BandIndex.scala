@@ -40,6 +40,51 @@ object BandIndex {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- persisted chunk width -------------------------------------------
+  // The index stores radius-0 keys, so probe masks all live on the delta
+  // side: covering chunk tolerance ⌊t/m⌋ needs V(tol, b) masks per chunk
+  // (no radius split is possible against a pre-materialized index). At
+  // 16-bit (reference parity) that caps cleanly for any t ≤ 63; at 32-bit
+  // chunks (the ≥10⁹-row build: 2¹⁶× sparser buckets, SCALING.md) the
+  // probe-side mask cap limits t ≤ 31 — checked at probe time. The width
+  // is written once at build (exclusive `_meta` file) and every later
+  // append/probe reads it, so an index can never hold mixed-width keys.
+
+  private def metaPath(path: String) = s"$path/_meta_chunk_bits"
+
+  /** Chunk width this index was built with (16 when the marker predates
+    * the knob — every pre-round-3 index is 16-bit). */
+  def chunkBitsOf(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val p = new Path(metaPath(path))
+    if (!f.exists(p)) BandJoin.BitsPerChunk
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writeChunkBits(spark: SparkSession, path: String, bits: Int): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val p = new Path(metaPath(path))
+    if (f.exists(p)) {
+      val existing = chunkBitsOf(spark, path)
+      require(existing == bits,
+        s"band index at $path was built with $existing-bit chunks; cannot use $bits")
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(bits.toString.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case _: java.io.IOException => // lost a create race — verify instead
+          require(chunkBitsOf(spark, path) == bits,
+            s"band index at $path committed a different chunk width")
+      }
+    }
+  }
+
   /** True when the index has at least one committed segment. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val f = fs(spark, path)
@@ -63,12 +108,19 @@ object BandIndex {
     spark.read.parquet(segs: _*)
   }
 
-  private def bandRows(sig: DataFrame): DataFrame =
+  /** 16-bit values keep the historical INT band_val column (a pre-r3
+    * segment and an r3 append must share one parquet schema within an
+    * index dir); wider chunks need LONG and only occur in new indexes. */
+  private def bandValTyped(c: org.apache.spark.sql.Column, chunkBits: Int) =
+    if (chunkBits <= 16) c.cast("int") else c
+
+  private def bandRows(sig: DataFrame, chunkBits: Int): DataFrame =
     sig.filter(col("has_pdq"))
       .select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3"),
         col("low_conf"),
-        posexplode(BandJoin.chunksArray(Seq("h0", "h1", "h2", "h3").map(col)))
-          .as(Seq("band_idx", "band_val")))
+        posexplode(BandJoin.chunksArrayB(Seq("h0", "h1", "h2", "h3").map(col),
+          chunkBits)).as(Seq("band_idx", "band_val")))
+      .withColumn("band_val", bandValTyped(col("band_val"), chunkBits))
 
   /** Write one segment atomically: stage under a dot-prefixed dir, then
     * rename into place. Idempotent: an existing committed segment is left
@@ -81,7 +133,7 @@ object BandIndex {
     val finalP = new Path(path, segName)
     if (f.exists(finalP)) return // already committed
     val staging = new Path(path, s".tmp_$segName")
-    bandRows(sig)
+    bandRows(sig, chunkBitsOf(spark, path))
       .repartitionByRange(numPartitions, col("band_idx"), col("band_val"))
       .sortWithinPartitions("band_idx", "band_val")
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -90,13 +142,19 @@ object BandIndex {
         s"band index commit failed: rename $staging -> $finalP")
   }
 
-  /** Build the index from a full corpus (base segment). */
-  def build(sig: DataFrame, path: String, numPartitions: Int = 32): Unit =
+  /** Build the index from a full corpus (base segment). `chunkBits` is
+    * frozen into the index (16 = reference parity; 32 = the ≥10⁹-row
+    * build — probes then require threshold ≤ 31, see probe()). */
+  def build(sig: DataFrame, path: String, numPartitions: Int = 32,
+            chunkBits: Int = BandJoin.BitsPerChunk): Unit = {
+    writeChunkBits(sig.sparkSession, path, chunkBits)
     writeSegment(sig, path, BaseSegment, numPartitions)
+  }
 
-  /** Append a delta's band keys as a new named segment. `segName` is the
-    * idempotency key: pass one derived from the delta run identity so a
-    * crashed-and-resumed append commits exactly once. */
+  /** Append a delta's band keys as a new named segment (width comes from
+    * the index's own metadata). `segName` is the idempotency key: pass one
+    * derived from the delta run identity so a crashed-and-resumed append
+    * commits exactly once. */
   def append(sig: DataFrame, path: String, segName: String = "seg_delta",
              numPartitions: Int = 32): Unit =
     writeSegment(sig, path, segName, numPartitions)
@@ -153,7 +211,18 @@ object BandIndex {
             threshold: Int): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
-    val tol = threshold / BandJoin.NumChunks
+    val chunkBits = chunkBitsOf(spark, path)
+    val numChunks = 256 / chunkBits
+    val tol = threshold / numChunks
+    // the index side is radius-0, so the whole probe ball sits on the
+    // delta — feasibility is arithmetic-checked BEFORE any mask array
+    // materializes (at 32-bit chunks this limits threshold ≤ 31:
+    // V(4,32) = 41k fits, V(5,32) = 242k does not)
+    require(BandJoin.maskCount(tol, chunkBits) <= BandJoin.MaxMasksPerSide,
+      s"threshold $threshold over a $chunkBits-bit index needs " +
+        s"${BandJoin.maskCount(tol, chunkBits)} probe masks/chunk " +
+        s"(> ${BandJoin.MaxMasksPerSide}) — rebuild the index with " +
+        "narrower chunks or lower the threshold")
     val idx = read(spark, path)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"),
@@ -169,10 +238,11 @@ object BandIndex {
         col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
     val prb = prbBase
       .select(col("*"),
-        posexplode(BandJoin.chunksArray(Seq("v0", "v1", "v2", "v3").map(col)))
-          .as(Seq("band_idx", "chunk")))
-      .withColumn("mask", explode(lit(BandJoin.masks(tol))))
-      .withColumn("band_val", col("chunk").bitwiseXOR(col("mask")))
+        posexplode(BandJoin.chunksArrayB(Seq("v0", "v1", "v2", "v3").map(col),
+          chunkBits)).as(Seq("band_idx", "chunk")))
+      .withColumn("mask", explode(lit(BandJoin.masksB(tol, chunkBits))))
+      .withColumn("band_val",
+        bandValTyped(col("chunk").bitwiseXOR(col("mask")), chunkBits))
       .drop("chunk", "mask")
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("q_low"), col("v0"), col("v1"), col("v2"), col("v3"))

@@ -90,6 +90,34 @@ class BandIndexSpec extends AnyFunSuite {
       corpus.map(_.ord).max)
   }
 
+  test("32-bit index: same probe edges as 16-bit at threshold ≤ 31 (scale build)") {
+    import spark.implicits._
+    // radius-0 index ⇒ the whole probe ball is delta-side; at 32-bit
+    // chunks V(3,32)=5.5k masks fit the cap for threshold ≤ 31
+    val thr = 24
+    val d16 = java.nio.file.Files.createTempDirectory("graft-bi16").toString
+    val d32 = java.nio.file.Files.createTempDirectory("graft-bi32").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$d16/index")
+    BandIndex.build(corpus.toDS().toDF(), s"$d32/index", chunkBits = 32)
+    assert(BandIndex.chunkBitsOf(spark, s"$d32/index") == 32)
+    def probe(p: String) = BandIndex.probe(spark, p, delta.toDS().toDF(), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val e16 = probe(s"$d16/index")
+    val e32 = probe(s"$d32/index")
+    assert(e16 == e32, s"width changed probe edges: only16=${(e16 -- e32).take(5)} " +
+      s"only32=${(e32 -- e16).take(5)}")
+    assert(e16.nonEmpty, "no probe edges at threshold 24 — corpus too sparse")
+    // infeasible combination fails fast, arithmetically (no mask alloc)
+    val err = intercept[IllegalArgumentException] {
+      BandIndex.probe(spark, s"$d32/index", delta.toDS().toDF(), Threshold)
+    }
+    assert(err.getMessage.contains("probe masks"), err.getMessage)
+    // an appended segment inherits the index's width (single-width dirs)
+    BandIndex.append(delta.toDS().toDF(), s"$d32/index", "seg_delta_w")
+    assert(BandIndex.read(spark, s"$d32/index")
+      .agg(org.apache.spark.sql.functions.max("band_idx")).head().getInt(0) == 7)
+  }
+
   test("range layout: files carry tight band_idx min-max (pruning basis)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bandindex4").toString
