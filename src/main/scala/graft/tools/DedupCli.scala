@@ -9,14 +9,17 @@ import graft.synth.Synth
  * dedup pipeline over an images table and print the ordered group report.
  *
  * Usage:
- *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold] [pdq|phash]
+ *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold] [pdq|phash] [registryPath]
  *
  * `SYNTH:200` synthesizes a 200-base deterministic corpus first (no
  * external data in this sandbox); otherwise the first arg is a directory
  * holding an `images` parquet table with the input_hint schema. The
  * optional 4th arg selects the grouping hash (the library-level algorithm
  * switch, hamminghash.rs u64 vs [u8;32]); `phash` defaults its threshold
- * to 15 (MAX_SIMILARITY_64) when none is given.
+ * to 15 (MAX_SIMILARITY_64) when none is given. With a 5th arg, groups
+ * carry cross-run-stable UUIDs from that registry, ignored groups are
+ * suppressed (manage them with [[RegistryCli]]), and each group line
+ * prints its uuid.
  */
 object DedupCli {
   def main(args: Array[String]): Unit = {
@@ -42,10 +45,19 @@ object DedupCli {
         Synth.readImages(spark, s"$workDir/corpus")
       } else Synth.readImages(spark, input)
 
+    val registryPath = args.lift(4).filter(_.nonEmpty)
+
     val t0 = System.nanoTime()
     val grouped = Pipeline.run(spark, images, s"$workDir/work", threshold,
-      algorithm = algorithm)
-    val summary = Groups.groupSummary(grouped)
+      algorithm = algorithm, registryPath = registryPath)
+    val summary = registryPath match {
+      case None => Groups.groupSummary(grouped)
+      case Some(_) =>
+        import org.apache.spark.sql.functions.first
+        Groups.groupSummary(grouped.drop("group_uuid"))
+          .join(grouped.groupBy("comp").agg(first("group_uuid").as("group_uuid")),
+            "comp")
+    }
     val rows = summary.collect()
     val wall = (System.nanoTime() - t0) / 1e9
     val nImages = images.count()
@@ -53,8 +65,10 @@ object DedupCli {
     println(s"== graft dedup: $nImages images, threshold $threshold, $algorithm ==")
     rows.take(50).foreach { r =>
       val members = r.getAs[scala.collection.Seq[String]]("members")
+      val uuid = if (registryPath.isDefined)
+        s" uuid=${r.getAs[String]("group_uuid")}" else ""
       println(f"group size=${r.getAs[Long]("group_size")}%3d max_dist=${r.getAs[Int]("max_dist")}%3d " +
-        f"status=${r.getAs[String]("status")}%-13s ${members.sorted.mkString(", ")}")
+        f"status=${r.getAs[String]("status")}%-13s$uuid ${members.sorted.mkString(", ")}")
     }
     if (rows.length > 50) println(s"... ${rows.length - 50} more groups")
     println(f"== ${rows.length} duplicate groups, ${wall}%.1f s wall, " +

@@ -249,6 +249,29 @@ class LshSpec extends AnyFunSuite {
     assert(e8.nonEmpty)
   }
 
+  test("auto chunk width resolves by corpus size (chunkBits = 0 default)") {
+    import graft.lsh.{BandJoin, BandJoin64}
+    // 256-bit path: 16-bit parity up to the measured cutoff, then 32
+    assert(BandJoin.autoChunkBits(1000) == 16)
+    assert(BandJoin.autoChunkBits(BandJoin.AutoWideCutoff) == 16)
+    assert(BandJoin.autoChunkBits(BandJoin.AutoWideCutoff + 1) == 32)
+    // u64 path: 8-bit parity to 1e5 (measured 10x degeneracy past it)
+    assert(BandJoin64.autoChunkBits(1000) == 8)
+    assert(BandJoin64.autoChunkBits(BandJoin64.AutoWideCutoff) == 8)
+    assert(BandJoin64.autoChunkBits(BandJoin64.AutoWideCutoff + 1) == 16)
+    // the Pipeline-facing default: explicit 0 behaves like tiny-corpus
+    // parity on a small frame (same edges as pinned widths)
+    val r = new java.util.Random(21)
+    val hashes = Seq.fill(300)(r.nextLong()) ++
+      Seq.tabulate(4)(i => flipBits64(0x5a5a5a5a5a5a5a5aL, r, i * 2))
+    val sig = sigFrame64(hashes)
+    val auto = graft.lsh.BandJoin64.edges(sig, chunkBits = 0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val pinned = graft.lsh.BandJoin64.edges(sig, chunkBits = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(auto == pinned && auto.nonEmpty)
+  }
+
   test("u64 salted band join is recall-neutral (S=1 == S=4)") {
     val r = new java.util.Random(17)
     val hashes = Seq.fill(600)(r.nextLong()) ++
