@@ -9,7 +9,7 @@ import graft.synth.Synth
  * corpus run (the `phdupes` rescan analog at delta-proportional cost).
  *
  * Usage:
- *   runMain graft.tools.IncrementalCli <corpusWorkDir> <deltaImagesDir|SYNTHDELTA:n:seedOffset> <deltaWorkDir> [threshold]
+ *   runMain graft.tools.IncrementalCli <corpusWorkDir> <deltaImagesDir|SYNTHDELTA:n:seedOffset> <deltaWorkDir> [threshold] [registryPath]
  *
  * `SYNTHDELTA:30:1000` synthesizes 30 bases starting at base id 1000 (so
  * the delta contains both fresh images and, by re-using low base ids,
@@ -19,7 +19,9 @@ import graft.synth.Synth
 object IncrementalCli {
   def main(args: Array[String]): Unit = {
     val Array(corpusWork, deltaInput, deltaWork) = args.take(3)
-    val threshold = if (args.length > 3) args(3).toInt else Pipeline.DefaultThreshold
+    // "-" or "" = default (so registryPath can be passed positionally)
+    val threshold = args.lift(3).filter(t => t.nonEmpty && t != "-")
+      .map(_.toInt).getOrElse(Pipeline.DefaultThreshold)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Pipeline.session(s"local[$cpus]")
     spark.sparkContext.setLogLevel("WARN")
@@ -35,8 +37,10 @@ object IncrementalCli {
           .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
       } else Synth.readImages(spark, deltaInput)
 
+    val registryPath = args.lift(4).filter(_.nonEmpty)
     val t0 = System.nanoTime()
-    val grouped = Incremental.run(spark, delta, corpusWork, deltaWork, threshold)
+    val grouped = Incremental.run(spark, delta, corpusWork, deltaWork, threshold,
+      registryPath = registryPath)
     val summary = Groups.groupSummary(grouped).collect()
     val wall = (System.nanoTime() - t0) / 1e9
     val nDelta = delta.count()
