@@ -96,6 +96,29 @@ object Groups {
           .otherwise(lit("None")))
   }
 
+  /**
+   * A9/J5 — hardlink subgroups (get_hardlink_groups, state.rs:1168-1179):
+   * within each duplicate group, members sharing a physical file id form
+   * a hardlink subgroup; only counts ≥ 2 are "actual hardlinks" (the
+   * same storage copy appearing under several paths — dedup between them
+   * is a no-op, and the reference reports them as one physical file).
+   *
+   * The input contract has no file ids, so this is an OPTIONAL side
+   * table: `fileIds` = (image_id, file_id) — the unique_file_id analog
+   * (dev«64 | ino, fileops::get_file_key). Members without a file id
+   * count as their own storage copy. groupBy aggregates, never a window
+   * over comp — giant-safe like the rest of the analytics.
+   */
+  def withHardlinks(assembled: DataFrame, fileIds: DataFrame): DataFrame = {
+    val m = assembled.join(fileIds, Seq("image_id"), "left")
+    val counts = m.where(col("file_id").isNotNull)
+      .groupBy("comp", "file_id")
+      .agg(count(lit(1)).as("hardlink_count"))
+    m.join(counts, Seq("comp", "file_id"), "left")
+      .withColumn("hardlink_count", coalesce(col("hardlink_count"), lit(1L)))
+      .withColumn("is_hardlink", col("hardlink_count") > 1)
+  }
+
   /** One row per group, ordered like the reference result list (W1). */
   def groupSummary(assembled: DataFrame): DataFrame = {
     assembled.groupBy("comp").agg(

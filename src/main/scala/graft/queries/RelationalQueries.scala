@@ -420,6 +420,40 @@ object RelationalQueries {
        ORDER BY comp"""
 
   // =========================================================================
+  // A9/J5 — hardlink subgroups (get_hardlink_groups, state.rs:1168-1179):
+  // within each dup group, members sharing a simulated unique_file_id
+  // (id % 3 within the comp — several paths to one inode) subgroup
+  // together; count ≥ 2 = actual hardlinks (one storage copy).
+  // =========================================================================
+  def qHardlinkGroups(spark: SparkSession, dir: String): DataFrame = {
+    val comps = qConnectedComponents(spark, dir)
+      .withColumn("file_id", col("comp") * 100 + col("id") % 3)
+    val counts = comps.groupBy("comp", "file_id")
+      .agg(count(lit(1)).cast("long").as("hardlink_count"))
+    comps.join(counts, Seq("comp", "file_id"))
+      .select(col("id"), col("comp"), col("file_id").cast("long").as("file_id"),
+        col("hardlink_count"),
+        (col("hardlink_count") > 1).cast("long").as("is_hardlink"))
+      .orderBy("id")
+  }
+  def sqlHardlinkGroups(dir: String): String =
+    s"""WITH RECURSIVE ${sqlEdgesCte(dir)},
+       sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n),
+       withf AS (SELECT id, comp, comp * 100 + id % 3 AS file_id FROM comps),
+       counts AS (SELECT comp, file_id, count(*)::BIGINT AS hardlink_count
+         FROM withf GROUP BY 1, 2)
+       SELECT w.id::BIGINT AS id, w.comp::BIGINT AS comp,
+         w.file_id::BIGINT AS file_id, c.hardlink_count,
+         (CASE WHEN c.hardlink_count > 1 THEN 1 ELSE 0 END)::BIGINT AS is_hardlink
+       FROM withf w JOIN counts c ON w.comp = c.comp AND w.file_id = c.file_id
+       ORDER BY id"""
+
+  // =========================================================================
   // A4/A5/W2 — window duplicate counts + dense_rank subgroup ids
   // =========================================================================
   def qWindowDupCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -137,4 +137,29 @@ class ExtrasSpec extends AnyFunSuite {
     val m = StreamingSignatures.ingestMetrics(events).collect()
     assert(m.length == 2)
   }
+
+  test("hardlink subgroups (A9/J5): same file_id within a group counts once") {
+    import spark.implicits._
+    // two dup groups; group 10 has three paths to one inode (f1) plus a
+    // distinct file; group 20 has no hardlinks
+    val assembled = Seq(
+      (10L, "a"), (10L, "b"), (10L, "c"), (10L, "d"),
+      (20L, "e"), (20L, "f"))
+      .toDF("comp", "image_id")
+    val fileIds = Seq(
+      ("a", 100L), ("b", 100L), ("c", 100L), ("d", 101L),
+      ("e", 200L), ("f", 201L))
+      .toDF("image_id", "file_id")
+    val got = graft.groups.Groups.withHardlinks(assembled, fileIds)
+      .select("image_id", "hardlink_count", "is_hardlink").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("a") == ((3L, true)) && got("b") == ((3L, true)) && got("c") == ((3L, true)))
+    assert(got("d") == ((1L, false)))
+    assert(got("e") == ((1L, false)) && got("f") == ((1L, false)))
+    // a member with no file id row counts as its own storage copy
+    val sparse = graft.groups.Groups.withHardlinks(assembled,
+      fileIds.where($"image_id" =!= "a"))
+      .where($"image_id" === "a").select("hardlink_count").head().getLong(0)
+    assert(sparse == 1L)
+  }
 }
