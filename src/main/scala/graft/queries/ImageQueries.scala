@@ -58,6 +58,9 @@ object ImageQueries {
    * the banded join — equality also re-proves exhaustive recall on the
    * real corpus). Written once per corpus version; arrays are exploded
    * into child tables so the SQL needs no list-of-list gymnastics.
+   * The coalesce(1) here is a TEST-FIXTURE export over the ~320-row
+   * verify corpus, not a production sink — DuckDB's brute-force oracle
+   * is O(n²) by design and only exists at this scale.
    */
   private def exportOracleTables(spark: SparkSession, dir: String,
                                  sig: DataFrame): Unit = {

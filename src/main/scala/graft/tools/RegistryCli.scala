@@ -31,18 +31,21 @@ object RegistryCli {
 
     cmd match {
       case "list" =>
+        // display is driver-bounded (first 1000 by uuid); totals aggregate
+        // distributed — a 10⁸-group registry never collects to the driver
         val reg = GroupRegistry.read(spark, path)
           .groupBy("group_uuid").agg(count(lit(1)).as("hashes"))
-          .orderBy("group_uuid")
-        val ignored = GroupRegistry.ignoredUuids(spark, path)
-          .collect().map(_.getString(0)).toSet
-        val rows = reg.collect()
+        val ignoredDf = GroupRegistry.ignoredUuids(spark, path)
+        val ignored = ignoredDf.limit(100000).collect().map(_.getString(0)).toSet
+        val total = reg.count()
+        val rows = reg.orderBy("group_uuid").limit(1000).collect()
         rows.foreach { r =>
           val u = r.getString(0)
           val mark = if (ignored(u)) " [ignored]" else ""
           println(f"${r.getLong(1)}%6d hashes  $u$mark")
         }
-        println(s"== ${rows.length} registered groups, ${ignored.size} ignored ==")
+        if (total > rows.length) println(s"... ${total - rows.length} more")
+        println(s"== $total registered groups, ${ignored.size} ignored ==")
       case "ignored" =>
         val rows = GroupRegistry.ignoredUuids(spark, path).collect()
         rows.foreach(r => println(r.getString(0)))
