@@ -28,6 +28,7 @@ object SparkEntry {
     "q_registry_reuse" -> (RQ.qRegistryReuse _),
     "q_registry_ignored" -> (RQ.qRegistryIgnored _),
     "q_hardlink_groups" -> (RQ.qHardlinkGroups _),
+    "q_keep_list" -> (RQ.qKeepList _),
     "q_stem_merge" -> (RQ.qStemMerge _),
     "q_index_probe" -> (RQ.qIndexProbe _),
     "q_greedy_groups" -> (RQ.qGreedyGroups _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_registry_reuse" -> RQ.sqlRegistryReuse(d),
     "q_registry_ignored" -> RQ.sqlRegistryIgnored(d),
     "q_hardlink_groups" -> RQ.sqlHardlinkGroups(d),
+    "q_keep_list" -> RQ.sqlKeepList(d),
     "q_stem_merge" -> RQ.sqlStemMerge(d),
     "q_index_probe" -> RQ.sqlIndexProbe(d),
     "q_greedy_groups" -> RQ.sqlGreedyGroups(d),

@@ -119,6 +119,30 @@ object Groups {
       .withColumn("is_hardlink", col("hardlink_count") > 1)
   }
 
+  /**
+   * Training-data drop-list (the batch form of the reference's
+   * interactive keep/delete flow, S13): per duplicate group keep exactly
+   * ONE member — the first under `keyCols` ascending (compose from the
+   * W3 sort orders, e.g. `Seq(-col("size"))` = keep-largest,
+   * `NaturalSort.exifDateOrder(...)`-shaped null-safe keys for
+   * keep-oldest-shot) with an image_id tiebreak — and mark the rest
+   * `keep = false`. At 100 TB the `keep = false` rows ARE the product: a
+   * deterministic deletion manifest.
+   *
+   * Top-1 per group is a groupBy min over a packed struct — partial-
+   * aggregated map-side, never a per-group window sort, so one
+   * pathological giant group cannot straggle the stage.
+   */
+  def keepList(assembled: DataFrame,
+               keyCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val keyed = assembled.withColumn("_k",
+      struct(keyCols :+ col("image_id"): _*))
+    val keepers = keyed.groupBy("comp").agg(min("_k").as("_keep"))
+    keyed.join(keepers, "comp")
+      .withColumn("keep", col("_k") === col("_keep"))
+      .drop("_k", "_keep")
+  }
+
   /** One row per group, ordered like the reference result list (W1). */
   def groupSummary(assembled: DataFrame): DataFrame = {
     assembled.groupBy("comp").agg(

@@ -454,6 +454,39 @@ object RelationalQueries {
        ORDER BY id"""
 
   // =========================================================================
+  // S13 batch keep/drop manifest: per dup group keep the best member
+  // (largest simulated size, then earliest mtime, then id) via the REAL
+  // Groups.keepList operator (struct-min top-1, giant-safe); everything
+  // else is the deletion manifest a 100 TB dedup run emits.
+  // =========================================================================
+  def qKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val m = qConnectedComponents(spark, dir)
+      .withColumn("size", (col("id") * 7919L) % 10000L)
+      .withColumn("mtime", (col("id") * 37L) % 100000L)
+      .withColumn("image_id", format_string("img-%08d", col("id")))
+    graft.groups.Groups.keepList(m, Seq(-col("size"), col("mtime")))
+      .select(col("id"), col("comp"), col("size"),
+        col("keep").cast("long").as("keep"))
+      .orderBy("id")
+  }
+  def sqlKeepList(dir: String): String =
+    s"""WITH RECURSIVE ${sqlEdgesCte(dir)},
+       sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+       walk(n, c) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+         UNION
+         SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n),
+       m AS (SELECT id, comp, (id * 7919) % 10000 AS size,
+               (id * 37) % 100000 AS mtime FROM comps),
+       ranked AS (SELECT id, comp, size,
+           row_number() OVER (PARTITION BY comp
+             ORDER BY size DESC, mtime ASC, id ASC) AS rn FROM m)
+       SELECT id::BIGINT AS id, comp::BIGINT AS comp, size::BIGINT AS size,
+         (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+       FROM ranked ORDER BY id"""
+
+  // =========================================================================
   // A4/A5/W2 — window duplicate counts + dense_rank subgroup ids
   // =========================================================================
   def qWindowDupCounts(spark: SparkSession, dir: String): DataFrame = {

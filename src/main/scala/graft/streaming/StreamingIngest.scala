@@ -30,7 +30,8 @@ object StreamingIngest {
     * tests with MemoryStream.addData + processAllAvailable). */
   def start(spark: SparkSession, stream: DataFrame, corpusWork: String,
             ingestWork: String,
-            threshold: Int = Pipeline.DefaultThreshold): StreamingQuery =
+            threshold: Int = Pipeline.DefaultThreshold,
+            registryPath: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$ingestWork/_stream_ckpt")
@@ -38,7 +39,8 @@ object StreamingIngest {
         // empty batches must not mint empty state versions
         if (batch.limit(1).count() > 0) {
           Incremental.run(spark, batch.toDF(), corpusWork,
-            s"$ingestWork/batch_$id", threshold, fullOutput = false)
+            s"$ingestWork/batch_$id", threshold, registryPath = registryPath,
+            fullOutput = false)
           ()
         }
       }

@@ -162,4 +162,26 @@ class ExtrasSpec extends AnyFunSuite {
       .where($"image_id" === "a").select("hardlink_count").head().getLong(0)
     assert(sparse == 1L)
   }
+
+  test("keep-list: one keeper per group under the chosen W3 order") {
+    import spark.implicits._
+    val assembled = Seq(
+      (10L, "a", 500L), (10L, "b", 900L), (10L, "c", 900L),
+      (20L, "d", 100L), (20L, "e", 50L))
+      .toDF("comp", "image_id", "size")
+    val got = graft.groups.Groups.keepList(assembled, Seq(-$"size"))
+      .select("image_id", "keep").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // keep-largest; size tie broken by image_id asc
+    assert(got == Map("a" -> false, "b" -> true, "c" -> false,
+      "d" -> true, "e" -> false))
+    // null-safe key (exif-date shape: stamped first, then by mtime)
+    val withTs = Seq(
+      (30L, "f", Some(200L), 5L), (30L, "g", None, 1L), (30L, "h", Some(100L), 9L))
+      .toDF("comp", "image_id", "exif_ts", "mtime")
+    val keepOldest = graft.groups.Groups.keepList(withTs,
+      Seq($"exif_ts".isNull.cast("int"), coalesce($"exif_ts", $"mtime")))
+      .where($"keep").select("image_id").head().getString(0)
+    assert(keepOldest == "h", "earliest EXIF-stamped member must win")
+  }
 }
