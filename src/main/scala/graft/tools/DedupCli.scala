@@ -9,7 +9,7 @@ import graft.synth.Synth
  * dedup pipeline over an images table and print the ordered group report.
  *
  * Usage:
- *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold] [pdq|phash] [registryPath]
+ *   runMain graft.tools.DedupCli <imagesDirOrSYNTH[:nBases]> <workDir> [threshold] [pdq|phash] [registryPath] [dropManifestDir]
  *
  * `SYNTH:200` synthesizes a 200-base deterministic corpus first (no
  * external data in this sandbox); otherwise the first arg is a directory
@@ -19,7 +19,11 @@ import graft.synth.Synth
  * to 15 (MAX_SIMILARITY_64) when none is given. With a 5th arg, groups
  * carry cross-run-stable UUIDs from that registry, ignored groups are
  * suppressed (manage them with [[RegistryCli]]), and each group line
- * prints its uuid.
+ * prints its uuid. A 6th arg writes the KEEP/DROP MANIFEST there: one
+ * row per group member with `keep` = largest-bytes member (image_id
+ * tiebreak) — the `keep=false` rows are the deletion list a
+ * training-data dedup run feeds downstream (physical deletion stays out
+ * of scope — OS side effects).
  */
 object DedupCli {
   def main(args: Array[String]): Unit = {
@@ -45,7 +49,7 @@ object DedupCli {
         Synth.readImages(spark, s"$workDir/corpus")
       } else Synth.readImages(spark, input)
 
-    val registryPath = args.lift(4).filter(_.nonEmpty)
+    val registryPath = args.lift(4).filter(a => a.nonEmpty && a != "-")
 
     val t0 = System.nanoTime()
     val grouped = Pipeline.run(spark, images, s"$workDir/work", threshold,
@@ -73,6 +77,19 @@ object DedupCli {
     if (rows.length > 50) println(s"... ${rows.length - 50} more groups")
     println(f"== ${rows.length} duplicate groups, ${wall}%.1f s wall, " +
       f"${nImages / wall}%.0f img/s ==")
+
+    args.lift(5).filter(a => a.nonEmpty && a != "-").foreach { dropsOut =>
+      import org.apache.spark.sql.functions._
+      val sizes = images.select(col("image_id"), length(col("bytes")).as("size"))
+      val manifest = Groups.keepList(grouped.join(sizes, "image_id"),
+        Seq(-col("size")))
+        .select("image_id", "comp", "size", "keep")
+      manifest.write.mode("overwrite").parquet(dropsOut)
+      val written = spark.read.parquet(dropsOut)
+      val drops = written.where(!col("keep")).count()
+      println(s"== drop manifest: $drops of ${written.count()} grouped rows " +
+        s"marked drop -> $dropsOut ==")
+    }
     spark.stop()
   }
 }

@@ -37,7 +37,7 @@ object IncrementalCli {
           .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
       } else Synth.readImages(spark, deltaInput)
 
-    val registryPath = args.lift(4).filter(_.nonEmpty)
+    val registryPath = args.lift(4).filter(a => a.nonEmpty && a != "-")
     val t0 = System.nanoTime()
     val grouped = Incremental.run(spark, delta, corpusWork, deltaWork, threshold,
       registryPath = registryPath)
