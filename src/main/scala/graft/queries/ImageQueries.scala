@@ -64,7 +64,9 @@ object ImageQueries {
    */
   private def exportOracleTables(spark: SparkSession, dir: String,
                                  sig: DataFrame): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL")
+    // marker name versions the EXPORT SCHEMA (v2: + minhash table) — a
+    // corpus dir exported by an older build re-exports the full set
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v2")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     sig.select(col("ord"), col("image_id"),
@@ -82,6 +84,8 @@ object ImageQueries {
     sig.where(col("has_pdq"))
       .select(col("ord"), explode(col("phash_variants")).as("pv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/pvariants")
+    sig.select(col("ord"), posexplode(col("minhash")).as(Seq("pos", "v")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/minhash")
     fs.create(marker, true).close()
   }
 
@@ -128,13 +132,17 @@ object ImageQueries {
   }
 
   /** MinHash axis — caption LSH candidates with image-side verification:
-    * caption-dups bucket together but Hamming verify rejects them. */
+    * caption-dups bucket together but Hamming verify rejects them. Bands
+    * key on the RAW row-slice tuples (the textbook Broder banding —
+    * bucket = exact band equality), not an engine-internal hash of them:
+    * same semantics minus hash collisions, and reproducible in any
+    * engine, which is what lets DuckDB oracle this query. */
   def qImgCaptionCandidates(spark: SparkSession, dir: String): DataFrame = {
     val s = sigs(spark)
     val bands = s.select(col("ord"), col("minhash"))
       .select(col("ord"), posexplode(expr(
         s"transform(sequence(0, ${MinHash.Bands - 1}), b -> " +
-          s"hash(slice(minhash, b * ${MinHash.RowsPerBand} + 1, ${MinHash.RowsPerBand})))"))
+          s"slice(minhash, b * ${MinHash.RowsPerBand} + 1, ${MinHash.RowsPerBand}))"))
         .as(Seq("band", "band_key")))
     val a = bands.select(col("ord").as("a"), col("band"), col("band_key"))
     val b = bands.select(col("ord").as("b"), col("band"), col("band_key"))
@@ -249,6 +257,36 @@ object ImageQueries {
   private def oSigs = s"read_parquet('$corpusRoot/oracle/sigs/*.parquet')"
   private def oVars = s"read_parquet('$corpusRoot/oracle/variants/*.parquet')"
   private def oPVars = s"read_parquet('$corpusRoot/oracle/pvariants/*.parquet')"
+  private def oMinhash = s"read_parquet('$corpusRoot/oracle/minhash/*.parquet')"
+
+  /** Caption MinHash LSH: bands from the raw row slices (pos//rows), LSH
+    * candidate pairs from band-tuple equality, per-position signature
+    * agreement count, PDQ Hamming verification — the §2.11 axis rebuilt
+    * from the exported kernel tables. */
+  def sqlImgCaptionCandidates(dir: String): String =
+    s"""WITH s AS (SELECT * FROM $oSigs),
+       mh AS (SELECT * FROM $oMinhash),
+       bands AS (SELECT ord, (pos // ${MinHash.RowsPerBand}) AS band,
+           list(v ORDER BY pos) AS key
+         FROM mh GROUP BY ord, (pos // ${MinHash.RowsPerBand})),
+       cand AS (SELECT DISTINCT x.ord AS a, y.ord AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.key = y.key AND x.ord < y.ord),
+       mm AS (SELECT xa.ord AS a, xb.ord AS b,
+           sum(CASE WHEN xa.v = xb.v THEN 1 ELSE 0 END)::INT AS mh_matches
+         FROM cand c JOIN mh xa ON xa.ord = c.a
+              JOIN mh xb ON xb.ord = c.b AND xb.pos = xa.pos
+         GROUP BY 1, 2)
+       SELECT c.a, c.b, mm.mh_matches,
+         (bit_count(xor(sa.h0, sb.h0))::INT + bit_count(xor(sa.h1, sb.h1))::INT +
+          bit_count(xor(sa.h2, sb.h2))::INT + bit_count(xor(sa.h3, sb.h3))::INT)
+           AS pdq_dist,
+         (CASE WHEN (bit_count(xor(sa.h0, sb.h0))::INT + bit_count(xor(sa.h1, sb.h1))::INT +
+            bit_count(xor(sa.h2, sb.h2))::INT + bit_count(xor(sa.h3, sb.h3))::INT)
+            <= ${Pipeline.DefaultThreshold} THEN 1 ELSE 0 END)::INT AS image_verified
+       FROM cand c JOIN mm ON mm.a = c.a AND mm.b = c.b
+            JOIN s sa ON sa.ord = c.a JOIN s sb ON sb.ord = c.b
+       ORDER BY c.a, c.b"""
 
   def sqlImgBandKeys(dir: String): String =
     s"""SELECT s.ord, k AS band_idx,
