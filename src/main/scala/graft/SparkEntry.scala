@@ -139,6 +139,7 @@ object SparkEntry {
     "q_img_groups" -> IQ.sqlImgGroups(d),
     "q_img_dup_pairs" -> IQ.sqlImgDupPairs(d),
     "q_img_phash_groups" -> IQ.sqlImgPhashGroups(d),
-    "q_img_caption_candidates" -> IQ.sqlImgCaptionCandidates(d)
+    "q_img_caption_candidates" -> IQ.sqlImgCaptionCandidates(d),
+    "q_img_decode_meta" -> IQ.sqlImgDecodeMeta(d)
   )
 }

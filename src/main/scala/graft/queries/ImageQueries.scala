@@ -64,15 +64,17 @@ object ImageQueries {
    */
   private def exportOracleTables(spark: SparkSession, dir: String,
                                  sig: DataFrame): Unit = {
-    // marker name versions the EXPORT SCHEMA (v2: + minhash table) — a
-    // corpus dir exported by an older build re-exports the full set
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v2")
+    // marker name versions the EXPORT SCHEMA (v3: + minhash table,
+    // quality/fmt columns) — a corpus dir exported by an older build
+    // re-exports the full set
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v3")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     sig.select(col("ord"), col("image_id"),
         col("h0"), col("h1"), col("h2"), col("h3"), col("phash64"),
         col("low_conf").cast("int").as("low_conf"),
         col("has_pdq").cast("int").as("has_pdq"),
+        col("quality"), col("fmt"),
         hex(col("content_hash")).as("content_hash"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/sigs")
     sig.where(col("has_pdq"))
@@ -258,6 +260,18 @@ object ImageQueries {
   private def oVars = s"read_parquet('$corpusRoot/oracle/variants/*.parquet')"
   private def oPVars = s"read_parquet('$corpusRoot/oracle/pvariants/*.parquet')"
   private def oMinhash = s"read_parquet('$corpusRoot/oracle/minhash/*.parquet')"
+  private def oImages = s"read_parquet('$corpusRoot/images/*/*.parquet')"
+
+  /** Decode-meta: w/h/byte-length/caption-length come from the RAW input
+    * table (read directly by DuckDB — independent of the kernel), joined
+    * against the kernel's quality/has_pdq outputs — gating that the
+    * kernel preserved row identity and the input metadata columns. */
+  def sqlImgDecodeMeta(dir: String): String =
+    s"""SELECT i.image_id, s.fmt, i.w, i.h,
+       octet_length(i.bytes)::INT AS n_bytes, length(i.caption)::INT AS cap_len,
+       s.quality, s.has_pdq
+       FROM $oImages i JOIN $oSigs s ON s.image_id = i.image_id
+       ORDER BY i.image_id"""
 
   /** Caption MinHash LSH: bands from the raw row slices (pos//rows), LSH
     * candidate pairs from band-tuple equality, per-position signature
