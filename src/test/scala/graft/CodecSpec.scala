@@ -78,6 +78,25 @@ class CodecSpec extends AnyFunSuite {
       "preview decode differs from decoding the embedded JPEG directly")
   }
 
+  test("nested-SOI preview: thumbnail inside EXIF no longer truncates the span") {
+    // a full-size preview whose own APP1 embeds a thumbnail JPEG: the
+    // nested SOI used to cut the outer stream before its scan data, so
+    // only the thumbnail decoded (round-2 ADVICE). Both span variants +
+    // max-decoded-area selection must recover the full preview.
+    val big = ImageCodec.encodeJpeg(gradient(100, 80), 0.9f)
+    val thumb = ImageCodec.encodeJpeg(gradient(10, 8), 0.9f)
+    val seg = new java.io.ByteArrayOutputStream()
+    val len = thumb.length + 2
+    seg.write(0xff); seg.write(0xe1)
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write(thumb)
+    val nested = graft.kernel.Exif.spliceIntoJpeg(big, seg.toByteArray)
+    val container = Array[Byte]('I', 'I', 42, 0) ++ new Array[Byte](64) ++ nested
+    val d = ImageCodec.extractLargestJpegPreview(container)
+    assert(d.isDefined && d.get.w == 100 && d.get.h == 80,
+      s"picked ${d.map(x => (x.w, x.h))} — nested SOI truncated the outer stream")
+  }
+
   test("RAW with no embedded JPEG reports error, unknown fmt reports unsupported") {
     val junk = new Array[Byte](1024)
     assert(ImageCodec.decodeWithStatus(junk, "nef", 10, 10)._2 == "error")
