@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.{CorpusState, Pipeline}
+import graft.groups.GroupRegistry
+import graft.lsh.BandIndex
+
+/**
+ * Corpus maintenance — the `--prune` / cache-GC entry point (§3.3,
+ * db.rs:892-1002) re-expressed for the segment stores: fold merge-on-read
+ * layers into snapshots and expire the versions they subsume. Safe to run
+ * any time (all three compactions are idempotent and crash-tolerant —
+ * commit-then-delete, reads never see a gap); `Incremental.run` triggers
+ * the same maintenance automatically every K versions, so this CLI is for
+ * off-peak scheduling or recovering from a long un-compacted chain.
+ *
+ *   runMain graft.tools.MaintenanceCli <corpusWorkDir> [registryPath]
+ */
+object MaintenanceCli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MaintenanceCli <corpusWorkDir> [registryPath]")
+    val corpusWork = args(0)
+    val registryPath = args.lift(1).filter(a => a.nonEmpty && a != "-")
+    val spark = Pipeline.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vBefore = CorpusState.version(spark, corpusWork)
+    CorpusState.compact(spark, corpusWork)
+    CorpusState.gc(spark, corpusWork)
+    val stateDirs = new java.io.File(corpusWork).listFiles()
+      .map(_.getName).count(_.startsWith("state_v"))
+    println(s"== corpus state: version $vBefore, $stateDirs version dir(s) after gc ==")
+
+    val indexPath = s"$corpusWork/band_index"
+    if (BandIndex.exists(spark, indexPath)) {
+      BandIndex.compact(spark, indexPath)
+      val segs = new java.io.File(indexPath).listFiles()
+        .map(_.getName).count(_.startsWith("seg_"))
+      println(s"== band index: compacted to $segs segment(s) " +
+        s"(${BandIndex.chunkBitsOf(spark, indexPath)}-bit chunks) ==")
+    }
+
+    registryPath.foreach { p =>
+      GroupRegistry.compact(spark, p)
+      println(s"== registry compacted: ${GroupRegistry.read(spark, p).count()} resolved rows ==")
+    }
+    spark.stop()
+  }
+}
