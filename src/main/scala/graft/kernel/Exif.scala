@@ -116,15 +116,17 @@ object Exif {
     val big = b(start) == 'M' && b(start + 1) == 'M'
     if (!little && !big) return None
 
+    // p < start guards offsets that wrapped negative through .toInt on a
+    // crafted 32-bit value (fuzz-found: Index -1 AIOOBE in the kernel)
     def u16(off: Int): Int = {
       val p = start + off
-      if (p + 2 > end) return -1
+      if (p < start || p + 2 > end) return -1
       if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
       else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
     }
     def u32(off: Int): Long = {
       val p = start + off
-      if (p + 4 > end) return -1L
+      if (p < start || p + 4 > end) return -1L
       val v =
         if (little) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
           ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
@@ -158,9 +160,10 @@ object Exif {
     }
 
     def ascii(valOff: Long, cnt: Long): Option[String] = {
+      if (valOff < 0 || valOff > (end - start).toLong) return None
       val p = start + valOff.toInt
       val len = math.min(cnt, (end - p).toLong).toInt
-      if (valOff < 0 || len <= 0) None
+      if (len <= 0) None
       else Some(new String(b, p, len, StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000').trim)
     }

@@ -71,6 +71,37 @@ class ExifSpec extends AnyFunSuite {
     assert(er.get.dateTimeOriginal.contains("2022:11:30 23:59:59"))
   }
 
+  test("fuzz: adversarial bytes never crash container EXIF parsing or preview scan") {
+    // the parse runs inside the kernel's hot mapPartitions — an unguarded
+    // offset on corrupt input would fail whole tasks at corpus scale
+    val r = new java.util.Random(99)
+    for (_ <- 0 until 300) {
+      val n = r.nextInt(4000)
+      val b = new Array[Byte](n); r.nextBytes(b)
+      for (fmt <- Seq("jpg", "tiff", "nef", "png", "xyz"))
+        Exif.fromBytes(b, fmt) // must not throw
+      if (n >= 8) {
+        // TIFF-header-prefixed junk: the likeliest adversarial shape
+        b(0) = 'I'; b(1) = 'I'; b(2) = 42; b(3) = 0
+        Exif.fromBytes(b, "tiff")
+        b(0) = 'M'; b(1) = 'M'; b(2) = 0; b(3) = 42
+        Exif.fromBytes(b, "dng")
+      }
+      if (n >= 4) {
+        // SOI-prefixed junk through the preview scanner
+        b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b(2) = 0xff.toByte
+        ImageCodec.extractLargestJpegPreview(b)
+        Exif.fromBytes(b, "jpg")
+      }
+    }
+    // truncated REAL structures: every prefix of a valid EXIF TIFF block
+    val full = graft.kernel.Tiff.encode(
+      graft.kernel.DecodedImage(4, 3, Array.fill(12)(0xff112233)), 8,
+      Some(graft.kernel.TiffExif(3, "2020:01:01 00:00:00", Some(1.5), Some(-2.5))))
+    for (cut <- 0 to math.min(full.length, 400))
+      Exif.fromBytes(java.util.Arrays.copyOf(full, cut), "tiff")
+  }
+
   test("SRATIONAL (type 10) renders signed: ExposureBias -1/3") {
     // little-endian block: IFD0 with one SRATIONAL entry (tag 0x9204),
     // value at offset 26: num = -1 (0xFFFFFFFF), den = 3
