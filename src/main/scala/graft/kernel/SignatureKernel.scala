@@ -29,8 +29,13 @@ object SignatureKernel {
     // EXIF rides the same pass over the bytes already in hand — a second
     // full-corpus byte scan for features would be a non-starter at 100 TB.
     // Container-aware: JPEG APP1, TIFF IFD at offset 0, RAW TIFF headers
-    // (round-2 VERDICT missing #2 — TIFF/RAW rows no longer null out)
-    val exif = Exif.fromBytes(row.bytes, row.fmt)
+    // (round-2 VERDICT missing #2 — TIFF/RAW rows no longer null out).
+    // NonFatal guard like the decode tier: metadata parsing must never
+    // fail a task over one corrupt file (the parser is fuzz-gated, the
+    // catch is defense-in-depth at 10⁹-row scale)
+    val exif =
+      try Exif.fromBytes(row.bytes, row.fmt)
+      catch { case scala.util.control.NonFatal(_) => None }
     val (ori, ets, glat, glon) = exif match {
       case Some(e) => (e.orientation, e.timestamp, e.lat, e.lon)
       case None => (None, None, None, None)
