@@ -135,4 +135,20 @@ class GeoRegistrySpec extends AnyFunSuite {
     assert(u3.contains(victim), "cleared flag must re-surface the group")
     assert(u3 == uuids.toSet)
   }
+
+  test("crash-window staging dirs are invisible to registry reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-stage").toString
+    val rows = Seq((1L, 2L, 3L, 4L, "u-1")).toDF("h0", "h1", "h2", "h3", "group_uuid")
+    GroupRegistry.merge(spark, dir, rows)
+    // simulate a crashed writer: a dot-prefixed staging dir with junk
+    val junk = new java.io.File(s"$dir/.tmp_seg_d000099"); junk.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(junk, "part-junk.parquet")).close()
+    assert(GroupRegistry.read(spark, dir).count() == 1,
+      "staging dir leaked into the registry read")
+    // a subsequent merge still commits cleanly past the debris
+    GroupRegistry.merge(spark, dir,
+      Seq((9L, 9L, 9L, 9L, "u-2")).toDF("h0", "h1", "h2", "h3", "group_uuid"))
+    assert(GroupRegistry.read(spark, dir).count() == 2)
+  }
 }
