@@ -251,12 +251,31 @@ object Incremental {
     * stack shallow in steady-state ingest without a manual maintenance
     * call — the 32-layer read-path warning never fires in normal
     * operation (round-2 VERDICT #7). */
+  /** `algorithm` selects the hash the candidate probe bands on — "pdq"
+    * (256-bit, reference default) or "phash" (64-bit DCT pHash,
+    * HammingHash<u64> semantics). The index is built algorithm-stamped
+    * ([[BandIndex]] `_meta_algo`); probing a corpus whose index was built
+    * for the other algorithm is refused (the band keys are incomparable).
+    * `threshold` < 0 ⇒ the algorithm's own default (40 pdq / 15 phash),
+    * same contract as [[Pipeline.run]]. */
   def run(spark: SparkSession, deltaImages: DataFrame, corpusWork: String,
           deltaWork: String,
-          threshold: Int = Pipeline.DefaultThreshold,
+          threshold: Int = -1,
           registryPath: Option[String] = None,
           fullOutput: Boolean = true,
-          compactEvery: Int = 8): DataFrame = {
+          compactEvery: Int = 8,
+          algorithm: String = "pdq"): DataFrame = {
+    require(algorithm == "pdq" || algorithm == "phash",
+      s"unknown algorithm '$algorithm' (pdq | phash)")
+    val thr =
+      if (threshold >= 0) threshold
+      else if (algorithm == "phash") graft.lsh.BandJoin64.DefaultThreshold
+      else Pipeline.DefaultThreshold
+    require(algorithm != "phash" || thr <= graft.lsh.BandJoin64.DefaultThreshold,
+      s"phash threshold $thr > ${graft.lsh.BandJoin64.DefaultThreshold} " +
+        "(MAX_SIMILARITY_64, hamminghash.rs:5)")
+    val indexAlgo =
+      if (algorithm == "phash") BandIndex.AlgoPhash64 else BandIndex.AlgoPdq
     val ckpt = new Ckpt(spark, deltaWork)
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
@@ -285,19 +304,34 @@ object Incremental {
     }
 
     val corpusSig = CorpusState.readSignatures(spark, corpusWork, baseVer)
-    val indexPath = s"$corpusWork/band_index"
+    // algorithm-stamped index path: a corpus can carry BOTH a pdq and a
+    // phash index side by side (the reference's LMDB holds both hash
+    // columns per file, scanner.rs:1251-1294); the legacy unsuffixed dir
+    // keeps serving pre-round-4 pdq corpora
+    val legacyPath = s"$corpusWork/band_index"
+    val indexPath =
+      if (algorithm == "pdq" && BandIndex.exists(spark, legacyPath)) legacyPath
+      else if (algorithm == "pdq") legacyPath
+      else s"$corpusWork/band_index_phash"
     if (!BandIndex.exists(spark, indexPath)) {
-      // index chunk width: wide (32-bit) only when the corpus is past the
-      // 16-bit degeneracy cutoff AND the probe ball still fits the mask
+      // index chunk width: wide only when the corpus is past the parity
+      // width's degeneracy cutoff AND the probe ball still fits the mask
       // cap at this threshold (radius-0 index ⇒ whole ball probe-side;
-      // 32-bit needs threshold ≤ 31). Same auto rule as the batch joins.
+      // 32-bit/256 needs threshold ≤ 31). Same auto rule as the batch joins.
       val nConf = corpusSig.filter(col("has_pdq") && !col("low_conf")).count()
       val bits =
-        if (nConf > BandJoin.AutoWideCutoff &&
-          BandJoin.maskCount(threshold / 8, 32) <= BandJoin.MaxMasksPerSide) 32
+        if (algorithm == "phash") {
+          val w = graft.lsh.BandJoin64.autoChunkBits(nConf)
+          if (BandJoin.maskCount(thr / (64 / w), w) <= BandJoin.MaxMasksPerSide) w
+          else graft.lsh.BandJoin64.BitsPerChunk
+        } else if (nConf > BandJoin.AutoWideCutoff &&
+          BandJoin.maskCount(thr / 8, 32) <= BandJoin.MaxMasksPerSide) 32
         else BandJoin.BitsPerChunk
-      BandIndex.build(corpusSig, indexPath, chunkBits = bits)
+      BandIndex.build(corpusSig, indexPath, chunkBits = bits, algo = indexAlgo)
     }
+    require(BandIndex.algoOf(spark, indexPath) == indexAlgo,
+      s"corpus index at $indexPath was built for " +
+        s"${BandIndex.algoOf(spark, indexPath)} — cannot probe as $indexAlgo")
 
     val maxOrd = {
       val r = corpusSig.agg(max("ord")).head()
@@ -310,8 +344,12 @@ object Incremental {
     val curVer = CorpusState.version(spark, corpusWork)
     val curSig = if (curVer == baseVer) corpusSig
       else CorpusState.readSignatures(spark, corpusWork, curVer)
+    // audit ceiling over has_pdq rows ONLY: the index never contains
+    // hash-less rows, so a corpus whose highest ord is a decode failure
+    // would otherwise read as "index lagging" forever and append an empty
+    // seg_repair_* every run
     val curMaxOrd = {
-      val r = curSig.agg(max("ord")).head()
+      val r = curSig.filter(col("has_pdq")).agg(max("ord")).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
     val idxMax = BandIndex.maxOrd(spark, indexPath)
@@ -332,12 +370,13 @@ object Incremental {
         .withColumn("ord", monotonically_increasing_id() + lit(maxOrd + 1)))
 
     val (cross, _) = ckpt.stage("delta_cross_edges")(
-      BandIndex.probe(spark, indexPath, deltaSig, threshold)
+      BandIndex.probe(spark, indexPath, deltaSig, thr)
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"), col("dist")))
 
     val (internal, _) = ckpt.stage("delta_internal_edges")(
-      BandJoin.edges(deltaSig, threshold))
+      if (algorithm == "phash") graft.lsh.BandJoin64.edges(deltaSig, thr)
+      else BandJoin.edges(deltaSig, thr))
 
     val oldComps = CorpusState.readComponents(spark, corpusWork, baseVer)
 

@@ -89,6 +89,11 @@ object GroupRegistry {
     val existing = readRaw(spark, path)
     val delta = rows.select("h0", "h1", "h2", "h3", "group_uuid").distinct()
       .join(existing, Seq("h0", "h1", "h2", "h3", "group_uuid"), "left_anti")
+      .localCheckpoint() // materialize once: emptiness probe + segment write
+    // a re-run over an unchanged corpus appends NOTHING — an empty segment
+    // per run would still grow the count toward CompactAfter and trigger
+    // periodic full-registry compactions with no data change
+    if (delta.isEmpty) return
     val segName = f"seg_d${segments(spark, path).size}%06d"
     writeSegment(delta, path, segName)
     if (segments(spark, path).size > CompactAfter) compact(spark, path)

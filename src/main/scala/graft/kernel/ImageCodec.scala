@@ -226,7 +226,13 @@ object ImageCodec {
         var i = 0
         while (i < argb.length) { argb(i) = 0xff000000 | data(i); i += 1 }
         DecodedImage(w, h, argb)
-      case _ if img.getRaster.getTransferType == java.awt.image.DataBuffer.TYPE_USHORT =>
+      case _ if img.getRaster.getTransferType == java.awt.image.DataBuffer.TYPE_USHORT &&
+        // genuine 16-bit samples only: USHORT_565_RGB/555_RGB (16-bit BMPs)
+        // also ride a USHORT transfer buffer but carry 5/6-bit samples —
+        // treating those as 16-bit made (v>>8)<<16 = 0 (all-black argb);
+        // they must fall through to the getRGB path below
+        (0 until img.getRaster.getNumBands).forall(
+          b => img.getRaster.getSampleModel.getSampleSize(b) == 16) =>
         // >8-bit raster (16-bit TIFF: USHORT_GRAY or custom USHORT RGB):
         // keep the native 16-bit samples for the pixel hash; argb takes
         // the high bytes (what an 8-bit conversion of the file would hold,

@@ -9,7 +9,7 @@ import graft.synth.Synth
  * corpus run (the `phdupes` rescan analog at delta-proportional cost).
  *
  * Usage:
- *   runMain graft.tools.IncrementalCli <corpusWorkDir> <deltaImagesDir|SYNTHDELTA:n:seedOffset> <deltaWorkDir> [threshold] [registryPath]
+ *   runMain graft.tools.IncrementalCli <corpusWorkDir> <deltaImagesDir|SYNTHDELTA:n:seedOffset> <deltaWorkDir> [threshold] [registryPath] [pdq|phash]
  *
  * `SYNTHDELTA:30:1000` synthesizes 30 bases starting at base id 1000 (so
  * the delta contains both fresh images and, by re-using low base ids,
@@ -20,8 +20,10 @@ object IncrementalCli {
   def main(args: Array[String]): Unit = {
     val Array(corpusWork, deltaInput, deltaWork) = args.take(3)
     // "-" or "" = default (so registryPath can be passed positionally)
+    val algorithm = args.lift(5).filter(a => a.nonEmpty && a != "-")
+      .getOrElse("pdq")
     val threshold = args.lift(3).filter(t => t.nonEmpty && t != "-")
-      .map(_.toInt).getOrElse(Pipeline.DefaultThreshold)
+      .map(_.toInt).getOrElse(-1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Pipeline.session(s"local[$cpus]")
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +42,7 @@ object IncrementalCli {
     val registryPath = args.lift(4).filter(a => a.nonEmpty && a != "-")
     val t0 = System.nanoTime()
     val grouped = Incremental.run(spark, delta, corpusWork, deltaWork, threshold,
-      registryPath = registryPath)
+      registryPath = registryPath, algorithm = algorithm)
     val summary = Groups.groupSummary(grouped).collect()
     val wall = (System.nanoTime() - t0) / 1e9
     val nDelta = delta.count()

@@ -118,6 +118,60 @@ class BandIndexSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("band_idx")).head().getInt(0) == 7)
   }
 
+  test("phash64 index: probe == brute-force u64 per-side-limit verification") {
+    import spark.implicits._
+    val thr = graft.lsh.BandJoin64.DefaultThreshold
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex-ph").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$dir/index",
+      chunkBits = graft.lsh.BandJoin64.BitsPerChunk, algo = BandIndex.AlgoPhash64)
+    assert(BandIndex.algoOf(spark, s"$dir/index") == BandIndex.AlgoPhash64)
+    val got = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    val want = (for {
+      d <- delta if d.has_pdq
+      c <- corpus if c.has_pdq
+      limit = if (d.low_conf || c.low_conf) 0 else thr
+      dist = d.phash_variants.map(v => java.lang.Long.bitCount(v ^ c.phash64)).min
+      if dist <= limit
+    } yield (d.ord, c.ord) -> dist).toMap
+
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"pair $k dist ${got(k)} != $v") }
+    assert(want.nonEmpty, "oracle found no u64 cross pairs — fixture broken")
+
+    // 16-bit u64 index (the ≥10⁵-row width): identical probe edges
+    val d16 = java.nio.file.Files.createTempDirectory("graft-bandindex-ph16").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$d16/index",
+      chunkBits = 16, algo = BandIndex.AlgoPhash64)
+    val got16 = BandIndex.probe(spark, s"$d16/index", delta.toDS().toDF(), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got16 == got, "u64 chunk width changed probe edges")
+  }
+
+  test("tol-0 probe (daily-ops threshold): semi-filtered index == brute force") {
+    import spark.implicits._
+    // threshold < numChunks ⇒ tol 0 ⇒ one probe key per chunk: the probed
+    // key set is provably sparse, the broadcast semi-filter engages, and
+    // the index exchange is O(touched buckets) — results must be identical
+    val thr = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex-t0").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$dir/index")
+    val got = BandIndex.probe(spark, s"$dir/index", delta.toDS().toDF(), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (for {
+      d <- delta if d.has_pdq
+      c <- corpus if c.has_pdq
+      limit = if (d.low_conf || c.low_conf) 0 else thr
+      dist = d.variants.map(v => Pdq.hammingLongs(v, Array(c.h0, c.h1, c.h2, c.h3))).min
+      if dist <= limit
+    } yield (d.ord, c.ord) -> dist).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "no tol-0 pairs — fixture lacks exact/near dups")
+  }
+
   test("range layout: files carry tight band_idx min-max (pruning basis)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bandindex4").toString

@@ -151,6 +151,29 @@ class CodecSpec extends AnyFunSuite {
       "16-bit precision must reach the pixel hash (scanner.rs:1393-1406)")
   }
 
+  test("USHORT_565/555 rasters (16-bit BMP class) decode via getRGB, not all-black") {
+    // round-3 ADVICE (medium): these ride a TYPE_USHORT transfer buffer
+    // but carry 5/6-bit samples — the 16-bit fast path treated them as
+    // 16-bit, making (r>>8)<<16 = 0 for every pixel (flat black argb, one
+    // shared PDQ, false duplicate groups feeding the deletion manifest)
+    for (imgType <- Seq(java.awt.image.BufferedImage.TYPE_USHORT_565_RGB,
+      java.awt.image.BufferedImage.TYPE_USHORT_555_RGB)) {
+      val src = new java.awt.image.BufferedImage(32, 24, imgType)
+      val g = src.createGraphics()
+      g.setPaint(new java.awt.GradientPaint(0, 0, java.awt.Color.WHITE,
+        32, 24, java.awt.Color.RED))
+      g.fillRect(0, 0, 32, 24)
+      g.dispose()
+      val d = ImageCodec.fromBuffered(src)
+      assert(d.rgba16 == null, s"type $imgType is not a 16-bit-sample raster")
+      assert(d.argb.exists(p => (p & 0xffffff) != 0),
+        s"type $imgType decoded all-black — USHORT fast path mis-gated")
+      // and the decode matches the ColorModel-correct getRGB values
+      val want = src.getRGB(0, 0, 32, 24, null, 0, 32)
+      assert(d.argb.sameElements(want), s"type $imgType diverges from getRGB")
+    }
+  }
+
   test("A5 subgroups: 16-bit TIFF splits pixel-identical counts, not groups") {
     import org.apache.spark.sql.functions._
     val spark = SparkTestSession.spark

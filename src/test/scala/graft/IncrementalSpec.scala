@@ -181,6 +181,65 @@ class IncrementalSpec extends AnyFunSuite {
     assert(compAfter == compBefore, "compaction changed the component view")
   }
 
+  test("phash-mode chained deltas == full phash batch run (u64 persisted index)") {
+    // round-3 VERDICT #4: a phash-mode corpus must ingest deltas through a
+    // width-parameterized persisted index (chunksArray64 keys,
+    // hamminghash.rs:23-41 semantics), not just the batch join
+    val base = java.nio.file.Files.createTempDirectory("graft-chain-ph").toString
+    val byIdx = rows.zipWithIndex
+    val corpus = byIdx.filter(_._2 % 3 == 0).map(_._1)
+    val delta1 = byIdx.filter(_._2 % 3 == 1).map(_._1)
+    val delta2 = byIdx.filter(_._2 % 3 == 2).map(_._1)
+
+    Pipeline.run(spark, toDF(corpus), s"$base/corpus-work", algorithm = "phash")
+    Incremental.run(spark, toDF(delta1), s"$base/corpus-work",
+      s"$base/delta1-work", algorithm = "phash")
+    val inc2 = Incremental.run(spark, toDF(delta2), s"$base/corpus-work",
+      s"$base/delta2-work", algorithm = "phash")
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work", algorithm = "phash")
+
+    assert(groupsOf(inc2) == groupsOf(full),
+      s"phash chain diverged: only-inc=${(groupsOf(inc2) -- groupsOf(full)).take(3)} " +
+        s"only-full=${(groupsOf(full) -- groupsOf(inc2)).take(3)}")
+    assert(groupsOf(full).exists(_.size > 1), "no multi-member phash groups")
+    // the index is algorithm-stamped u64: 8 chunks per image, not 16
+    val idxPath = s"$base/corpus-work/band_index_phash"
+    assert(graft.lsh.BandIndex.algoOf(spark, idxPath) ==
+      graft.lsh.BandIndex.AlgoPhash64)
+    import org.apache.spark.sql.functions._
+    assert(graft.lsh.BandIndex.read(spark, idxPath)
+      .agg(max("band_idx")).head().getInt(0) == 7)
+  }
+
+  test("non-hashable top-ord row never triggers perpetual repair segments") {
+    // round-3 ADVICE: the audit ceiling is over has_pdq rows only — a
+    // corpus whose HIGHEST ord is a decode failure must not make every
+    // later run append an empty seg_repair_* segment
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-repair").toString
+    val good = rows.take(8)
+    val corpusDf = toDF(good).unionByName(
+      Seq(("zzz_broken.jpg", Array[Byte](1, 2, 3), 4, 4, "jpg", "broken", 0L))
+        .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    Pipeline.run(spark, corpusDf, s"$base/corpus-work", Threshold)
+    // a delta of ONLY undecodable rows: every one of its ords is above the
+    // corpus max and none is hashable, so the index ceiling would lag the
+    // all-rows signature ceiling forever if the audit ignored has_pdq
+    val badDelta = Seq(
+      ("zzz_bad1.jpg", Array[Byte](9, 9), 4, 4, "jpg", "bad", 0L),
+      ("zzz_bad2.jpg", Array[Byte](8, 8), 4, 4, "jpg", "bad", 0L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    Incremental.run(spark, badDelta, s"$base/corpus-work", s"$base/delta1", Threshold)
+    Incremental.run(spark, toDF(rows.slice(8, 12)), s"$base/corpus-work",
+      s"$base/delta2", Threshold)
+    Incremental.run(spark, toDF(rows.slice(12, 16)), s"$base/corpus-work",
+      s"$base/delta3", Threshold)
+    val repairSegs = new java.io.File(s"$base/corpus-work/band_index").listFiles()
+      .map(_.getName).filter(_.startsWith("seg_repair"))
+    assert(repairSegs.isEmpty,
+      s"spurious repair segments: ${repairSegs.mkString(",")}")
+  }
+
   test("auto-compact every K deltas keeps the layer stack shallow") {
     // 9 chained deltas with compactEvery=3: snapshots at v3/v6/v9 + gc
     // must keep on-disk state_v* dirs bounded by K and index segments
