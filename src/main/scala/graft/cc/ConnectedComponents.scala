@@ -71,13 +71,22 @@ object ConnectedComponents {
    * it the O(log n)-round large-star/small-star iteration takes over.
    */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
-          driverPathMaxEdges: Long = DriverPathMaxEdges): DataFrame = {
+          driverPathMaxEdges: Long = DriverPathMaxEdges): DataFrame =
+    runWithStats(spark, edges, maxIter, driverPathMaxEdges)._1
+
+  /** Like [[run]], plus execution stats for benching/monitoring:
+    * (labels, largeStar/smallStar rounds used — 0 on the driver path —
+    * and the deduplicated input edge count). */
+  def runWithStats(spark: SparkSession, edges: DataFrame, maxIter: Int = 30,
+                   driverPathMaxEdges: Long = DriverPathMaxEdges)
+      : (DataFrame, Int, Long) = {
     var e = edges.select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
     val nEdges = e.count()
-    if (nEdges <= driverPathMaxEdges) return driverUnionFind(spark, e)
+    if (nEdges <= driverPathMaxEdges)
+      return (driverUnionFind(spark, e), 0, nEdges)
     var prev = checksum(e)
     var i = 0
     var converged = false
@@ -92,8 +101,8 @@ object ConnectedComponents {
     // fixpoint edges are (node → component-min) stars; add the roots
     val children = e.select(col("src").as("id"), col("dst").as("comp"))
     val roots = e.select(col("dst").as("id"), col("dst").as("comp")).distinct()
-    children.unionByName(roots)
-      .groupBy("id").agg(min("comp").as("comp"))
+    (children.unionByName(roots)
+      .groupBy("id").agg(min("comp").as("comp")), i, nEdges)
   }
 
   /** Exact union-find with path halving (scanner.rs:1781-1807 port) over

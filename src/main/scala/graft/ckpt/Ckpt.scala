@@ -93,6 +93,25 @@ final class Ckpt(spark: SparkSession, workDir: String) {
     }
   }
 
+  /** Latest committed value of a metric, if any — lets a resumed run read
+    * back a count another stage already paid for (e.g. confident_rows
+    * feeding the auto chunk width) instead of re-running the job. Checks
+    * the in-memory buffer first so a metric appended THIS run is visible
+    * before flush(). */
+  def readMetric(name: String): Option[Double] = {
+    pendingMetrics.reverseIterator.find(_._1 == name).map(_._2).orElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$workDir/_metrics")
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          None
+        else spark.read.parquet(p.toString)
+          .where(col("metric") === name)
+          .orderBy(col("at").desc).select("value")
+          .head(1).headOption.map(_.getDouble(0))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   def lineage: DataFrame = spark.read.parquet(s"$workDir/_lineage")
   def metrics: DataFrame = spark.read.parquet(s"$workDir/_metrics")
   def partitionLineage: DataFrame =

@@ -53,16 +53,15 @@ object BandJoin {
     * pigeonhole, proven by LshSpec width-equality). */
   def autoChunkBits(n: Long): Int = if (n <= AutoWideCutoff) BitsPerChunk else 32
 
-  /** Resolve `chunkBits = 0` (auto) against the confident-row count — one
-    * cheap count job; callers that pin a width skip it. */
-  private def resolveChunkBits(sig: DataFrame, chunkBits: Int): Int =
-    if (chunkBits != 0) chunkBits
-    else {
-      val n = sig.filter(col("has_pdq") && !col("low_conf")).count()
-      val bits = autoChunkBits(n)
-      log.info(s"band join auto chunk width: $n confident rows -> $bits-bit chunks")
-      bits
-    }
+  /** Confident-row count for the auto knobs (width + salt): the caller's
+    * hint when it already paid for the count (Pipeline reads it back from
+    * the signatures stage metrics — round-3 VERDICT #8), else ONE count
+    * job shared by both knobs. -1 when neither knob needs it. */
+  private def resolveConfCount(conf: DataFrame, nConfHint: Long,
+                               needed: Boolean): Long =
+    if (nConfHint >= 0) nConfHint
+    else if (needed) conf.count()
+    else -1L
 
   /** XOR masks within Hamming radius r of a 16-bit value (r ∈ 0..2 used;
     * r=3 supported for threshold 48..63, scanner.rs:1755-1767). */
@@ -75,6 +74,49 @@ object BandJoin {
     * hanging the driver. 697 (16-bit R=3, reference parity) and 5.5k
     * (32-bit r=3, the SCALING.md split) sit comfortably below it. */
   final val MaxMasksPerSide = 65536L
+
+  /** Rows-per-band-bucket past which AUTO salting engages: 200k index rows
+    * on one (band_idx, band_val) key is a multi-GB single-key join task —
+    * beyond what AQE skew-split absorbs comfortably and the SURVEY §4
+    * adversarial scenario (a corpus of near-flat images collapsing onto a
+    * few chunk values). Below it, AQE's partition-level splitting is
+    * enough (measured 27× bench-corpus skew absorbed, tools/JoinProbe). */
+  final val SaltBucketCap = 200000L
+
+  /** Ceiling on the derived salt factor: probe rows replicate ×S, so an
+    * unbounded factor would trade one skew problem for explode volume. */
+  final val MaxSaltFactor = 32
+
+  /** Confident-row floor below which auto mode skips the occupancy
+    * measurement entirely: with ≤ 2M rows no bucket can exceed 10× the
+    * cap, AQE's partition-level skew split absorbs that comfortably
+    * (measured 27× bench-corpus skew, tools/JoinProbe), and the
+    * measurement pass would be a visible fraction of the whole join. Past
+    * the floor the join itself costs minutes and the one extra agg is
+    * noise. */
+  final val AutoSaltMinRows = 2000000L
+
+  /** AUTO salt factor (`saltFactor = 0`): top radius-0 bucket occupancy
+    * over the confident rows — ONE cheap agg on corpus × numChunks skinny
+    * key rows, no mask explosion — divided by [[SaltBucketCap]]. Radius-0
+    * occupancy lower-bounds every join-key bucket's occupancy (a radius-r
+    * bucket is a union of radius-0 buckets), and it is exactly the
+    * degenerate mass an adversarial flat corpus concentrates. */
+  private[graft] def autoSaltFactor(conf: DataFrame, hs: Seq[String],
+                                    chunkBits: Int,
+                                    chunks: Seq[Column] => Column,
+                                    cap: Long = SaltBucketCap): Int = {
+    val occ = conf
+      .select(posexplode(chunks(hs.map(col))).as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val bmax = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    val s = math.min(MaxSaltFactor.toLong, (bmax + cap - 1) / cap).toInt
+    if (s > 1)
+      log.info(s"hot band bucket has $bmax rows (cap $cap) — " +
+        s"auto-engaging salt factor $s")
+    math.max(s, 1)
+  }
 
   /** Σ_{i≤r} C(bits, i) — the mask count masksB would materialize, computed
     * arithmetically (saturating) so guards can run BEFORE allocation. */
@@ -161,13 +203,15 @@ object BandJoin {
    * the explicit-salting fallback for corpora whose hot buckets exceed
    * what AQE skew-join splitting handles (SURVEY.md §4). Recall-neutral:
    * every (probe, index) pair still meets in exactly one salted bucket.
+   * `saltFactor` = 0 (the default) MEASURES the top bucket and engages a
+   * derived factor only past [[SaltBucketCap]] — see [[autoSaltFactor]].
    *
    * `sig` needs: ord, h0..h3, variants, low_conf, has_pdq.
    * Returns (a, b, dist) with a < b.
    */
-  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
-                 chunkBits: Int = 0): DataFrame =
-    bandMatches(sig, threshold, saltFactor, resolveChunkBits(sig, chunkBits))
+  def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 0,
+                 chunkBits: Int = 0, nConfHint: Long = -1): DataFrame =
+    bandMatches(sig, threshold, saltFactor, chunkBits, nConfHint)
       .withColumn("dist", hammingCols(Seq("v0", "v1", "v2", "v3").map(col),
         Seq("c0", "c1", "c2", "c3").map(col)))
       .where(col("dist") <= threshold)
@@ -178,8 +222,19 @@ object BandJoin {
   /** The raw band-collision rows (post-join, pre-verify) — exposed for
     * diagnostics (tools/JoinProbe) and the verify step above. */
   private[graft] def bandMatches(sig: DataFrame, threshold: Int,
-                                 saltFactor: Int = 1,
-                                 chunkBits: Int = BitsPerChunk): DataFrame = {
+                                 saltFactor: Int = 0,
+                                 chunkBits0: Int = BitsPerChunk,
+                                 nConfHint: Long = -1): DataFrame = {
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    // ONE shared count feeds both auto knobs (width + salt); a caller
+    // that pins both, or passes its already-known count, pays no job
+    val nConf = resolveConfCount(conf, nConfHint,
+      needed = chunkBits0 == 0 || saltFactor == 0)
+    val chunkBits = if (chunkBits0 != 0) chunkBits0 else {
+      val bits = autoChunkBits(nConf)
+      log.info(s"band join auto chunk width: $nConf confident rows -> $bits-bit chunks")
+      bits
+    }
     val numChunks = 256 / chunkBits
     // the reference caps similarity at 63 for EITHER hash width
     // (group_files_generic asserts MAX_SIMILARITY_256, scanner.rs:1649-1655)
@@ -211,15 +266,19 @@ object BandJoin {
       maskCount(r, chunkBits) + 8L * maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
-    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    val saltF =
+      if (saltFactor != 0) saltFactor
+      else if (nConf <= AutoSaltMinRows) 1
+      else autoSaltFactor(conf, Seq("h0", "h1", "h2", "h3"), chunkBits,
+        chunksArrayB(_, chunkBits))
 
     val idx0 = bandKeys(
       conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),
       Seq("h0", "h1", "h2", "h3"), rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
-    val idx = if (saltFactor <= 1) idx0.withColumn("salt", lit(0))
-      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltFactor)).cast("int"))
+    val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
+      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltF)).cast("int"))
 
     val prbBase = conf
       .select(col("ord"), explode(col("variants")).as("v"))
@@ -229,8 +288,8 @@ object BandJoin {
     val prb0 = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("v0"), col("v1"), col("v2"), col("v3"))
-    val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
-      else prb0.withColumn("salt", explode(lit((0 until saltFactor).toArray)))
+    val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
+      else prb0.withColumn("salt", explode(lit((0 until saltF).toArray)))
 
     // Symmetric probing (vs the reference's scan-order-dependent i<j,
     // scanner.rs:1714-1717): a pair is an edge when EITHER side's dihedral
@@ -272,10 +331,13 @@ object BandJoin {
   }
 
   /** All verified duplicate edges (a < b, minimal dist per pair).
-    * `chunkBits = 0` auto-selects the MIH width from the corpus size. */
-  def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 1,
-            chunkBits: Int = 0): DataFrame =
-    fuzzyEdges(sig, threshold, saltFactor, resolveChunkBits(sig, chunkBits))
+    * `chunkBits = 0` auto-selects the MIH width from the corpus size;
+    * `saltFactor = 0` auto-engages hot-bucket salting past the cap;
+    * `nConfHint` lets a caller that already knows the confident-row count
+    * (Pipeline's signatures-stage metric) skip the resolution job. */
+  def edges(sig: DataFrame, threshold: Int, saltFactor: Int = 0,
+            chunkBits: Int = 0, nConfHint: Long = -1): DataFrame =
+    fuzzyEdges(sig, threshold, saltFactor, chunkBits, nConfHint)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

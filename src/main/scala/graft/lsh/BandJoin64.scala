@@ -38,14 +38,6 @@ object BandJoin64 {
     * right at n≲10⁵; 16 = the corpus-scale setting. */
   def autoChunkBits(n: Long): Int = if (n <= AutoWideCutoff) BitsPerChunk else 16
 
-  private def resolveChunkBits(sig: DataFrame, chunkBits: Int): Int =
-    if (chunkBits != 0) chunkBits
-    else {
-      val n = sig.filter(col("has_pdq") && !col("low_conf")).count()
-      val bits = autoChunkBits(n)
-      log.info(s"u64 band join auto chunk width: $n confident rows -> $bits-bit chunks")
-      bits
-    }
 
   /** 64-bit Hamming distance — single codegen'd bit_count. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -79,10 +71,23 @@ object BandJoin64 {
    * `sig` needs: ord, phash64, phash_variants, low_conf, has_pdq.
    */
   def fuzzyEdges(sig: DataFrame, threshold: Int = DefaultThreshold,
-                 chunkBits0: Int = 0, saltFactor: Int = 1): DataFrame = {
+                 chunkBits0: Int = 0, saltFactor: Int = 0,
+                 nConfHint: Long = -1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
-    val chunkBits = resolveChunkBits(sig, chunkBits0)
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    // one shared count feeds the auto width + auto salt knobs (see
+    // BandJoin.bandMatches); a caller pinning both, or passing its known
+    // count, pays no job
+    val nConf =
+      if (nConfHint >= 0) nConfHint
+      else if (chunkBits0 == 0 || saltFactor == 0) conf.count()
+      else -1L
+    val chunkBits = if (chunkBits0 != 0) chunkBits0 else {
+      val bits = autoChunkBits(nConf)
+      log.info(s"u64 band join auto chunk width: $nConf confident rows -> $bits-bit chunks")
+      bits
+    }
     val numChunks = 64 / chunkBits
     val tol = threshold / numChunks
     // radius split (see BandJoin.bandMatches): probe side is 8× heavier
@@ -97,23 +102,28 @@ object BandJoin64 {
         8L * BandJoin.maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
-    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    val saltF =
+      if (saltFactor != 0) saltFactor
+      else if (nConf <= BandJoin.AutoSaltMinRows) 1
+      else BandJoin.autoSaltFactor(conf, Seq("phash64"), chunkBits,
+        hs => chunksArray64(hs.head, chunkBits))
 
     val idx0 = bandKeys(
       conf.select(col("ord"), col("phash64")), "phash64", rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("phash64").as("c_h"))
     // explicit hot-bucket salting (recall-neutral, same scheme as the
-    // 256-bit path): index buckets split S ways, probes replicated ×S
-    val idx = if (saltFactor <= 1) idx0.withColumn("salt", lit(0))
-      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltFactor)).cast("int"))
+    // 256-bit path): index buckets split S ways, probes replicated ×S;
+    // saltFactor = 0 measures the top bucket and derives the factor
+    val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
+      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltF)).cast("int"))
 
     val prbBase = conf
       .select(col("ord"), explode(col("phash_variants")).as("v_h"))
     val prb0 = bandKeys(prbBase, "v_h", rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
-    val prb = if (saltFactor <= 1) prb0.withColumn("salt", lit(0))
-      else prb0.withColumn("salt", explode(lit((0 until saltFactor).toArray)))
+    val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
+      else prb0.withColumn("salt", explode(lit((0 until saltF).toArray)))
 
     // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
     // estimate predates the 8-variant × 8-chunk × mask explosion
@@ -143,10 +153,12 @@ object BandJoin64 {
   }
 
   /** All verified duplicate edges (a < b, minimal dist per pair).
-    * `chunkBits = 0` auto-selects the width from the corpus size. */
+    * `chunkBits = 0` auto-selects the width from the corpus size;
+    * `nConfHint` skips the resolution count when the caller knows it. */
   def edges(sig: DataFrame, threshold: Int = DefaultThreshold,
-            chunkBits: Int = 0, saltFactor: Int = 1): DataFrame =
-    fuzzyEdges(sig, threshold, resolveChunkBits(sig, chunkBits), saltFactor)
+            chunkBits: Int = 0, saltFactor: Int = 0,
+            nConfHint: Long = -1): DataFrame =
+    fuzzyEdges(sig, threshold, chunkBits, saltFactor, nConfHint)
       .unionByName(exactEdges(sig))
       .groupBy("a", "b").agg(min("dist").as("dist"))
 }

@@ -46,6 +46,14 @@ object JoinProbe {
         sum("count").as("total")).head()
     println(s"PROBE rows in buckets>1000: ${top.get(0)} of ${top.get(1)}")
 
+    // the auto-salt decision on this corpus: derived factor + the capped
+    // per-(key, salt) occupancy the join tasks actually see
+    val hotMax = if (hot.isEmpty) 0L else hot.map(_.getLong(2)).max
+    val autoS = BandJoin.autoSaltFactor(conf, Seq("h0", "h1", "h2", "h3"),
+      BandJoin.BitsPerChunk, BandJoin.chunksArrayB(_, BandJoin.BitsPerChunk))
+    println(s"AUTOSALT factor=$autoS cap=${BandJoin.SaltBucketCap} " +
+      s"hottest=$hotMax per-salted-bucket=${hotMax / math.max(autoS, 1)}")
+
     val t0 = System.nanoTime()
     val raw = BandJoin.bandMatches(sig, threshold).count()
     val t1 = (System.nanoTime() - t0) / 1e9

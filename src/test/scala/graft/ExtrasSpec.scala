@@ -28,6 +28,7 @@ class ExtrasSpec extends AnyFunSuite {
     def edgeSet(s: Int) = BandJoin.edges(sig, 40, saltFactor = s).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
     assert(edgeSet(1) == edgeSet(4))
+    assert(edgeSet(1) == edgeSet(0), "auto-salt mode changed the edge set")
     assert(edgeSet(1).nonEmpty)
   }
 
