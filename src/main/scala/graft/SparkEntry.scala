@@ -64,6 +64,7 @@ object SparkEntry {
     "q_substring_dup" -> (TQ.qSubstringDup _),
     // the image pipeline itself (rows-only; oracle = PipelineSpec)
     "q_img_signatures" -> (IQ.qImgSignatures _),
+    "q_img_sig_meta" -> (IQ.qImgSigMeta _),
     "q_img_band_keys" -> (IQ.qImgBandKeys _),
     "q_img_edges" -> (IQ.qImgEdges _),
     "q_img_components" -> (IQ.qImgComponents _),
@@ -140,6 +141,9 @@ object SparkEntry {
     "q_img_dup_pairs" -> IQ.sqlImgDupPairs(d),
     "q_img_phash_groups" -> IQ.sqlImgPhashGroups(d),
     "q_img_caption_candidates" -> IQ.sqlImgCaptionCandidates(d),
-    "q_img_decode_meta" -> IQ.sqlImgDecodeMeta(d)
+    "q_img_decode_meta" -> IQ.sqlImgDecodeMeta(d),
+    // decode-independent kernel slice: content classes straight off the
+    // raw blob column (group-by bytes — no hash recomputation needed)
+    "q_img_sig_meta" -> IQ.sqlImgSigMeta(d)
   )
 }

@@ -67,14 +67,14 @@ object ImageQueries {
     // marker name versions the EXPORT SCHEMA (v3: + minhash table,
     // quality/fmt columns) — a corpus dir exported by an older build
     // re-exports the full set
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v3")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v4")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     sig.select(col("ord"), col("image_id"),
         col("h0"), col("h1"), col("h2"), col("h3"), col("phash64"),
         col("low_conf").cast("int").as("low_conf"),
         col("has_pdq").cast("int").as("has_pdq"),
-        col("quality"), col("fmt"),
+        col("quality"), col("fmt"), col("decode_status"),
         hex(col("content_hash")).as("content_hash"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/sigs")
     sig.where(col("has_pdq"))
@@ -99,6 +99,27 @@ object ImageQueries {
       col("quality"), col("low_conf").cast("int").as("low_conf"),
       col("phash64"), col("has_pdq").cast("int").as("has_pdq"))
       .orderBy("image_id")
+
+  /** P1/S1 decode-independent kernel slice (round-3 VERDICT #6): the
+    * content-equality classes and their interaction with the has_pdq
+    * gate, oracled WITHOUT decoding pixels. DuckDB 1.0 cannot SHA-256 a
+    * BLOB, but the semantics P1 exists for — equal bytes ⇔ equal hash —
+    * is exactly blob-equality classes, which DuckDB re-derives by
+    * grouping the RAW input bytes directly (fully independent of the
+    * kernel). class_size > 1 rows are the exact-duplicate mass; has_pdq
+    * is gated against its decode_status='ok' equivalence (F1: a decoded
+    * sub-5px or undecodable row never hashes). */
+  def qImgSigMeta(spark: SparkSession, dir: String): DataFrame = {
+    val s = sigs(spark)
+    val classes = s.groupBy("content_hash")
+      .agg(min("image_id").as("content_class"),
+        count(lit(1)).cast("long").as("class_size"))
+    s.join(classes, Seq("content_hash"))
+      .select(col("image_id"), col("fmt"), col("content_class"),
+        col("class_size"), col("has_pdq").cast("int").as("has_pdq"),
+        col("decode_status"))
+      .orderBy("image_id")
+  }
 
   /** J1 — LSH band keys of the stored hashes. */
   def qImgBandKeys(spark: SparkSession, dir: String): DataFrame = {
@@ -271,6 +292,20 @@ object ImageQueries {
        octet_length(i.bytes)::INT AS n_bytes, length(i.caption)::INT AS cap_len,
        s.quality, s.has_pdq
        FROM $oImages i JOIN $oSigs s ON s.image_id = i.image_id
+       ORDER BY i.image_id"""
+
+  /** Content classes straight off the RAW blob column — no hashing at
+    * all on the oracle side; fmt and image_id come from the raw table,
+    * has_pdq from its status equivalence. */
+  def sqlImgSigMeta(dir: String): String =
+    s"""WITH i AS (SELECT * FROM $oImages),
+       cls AS (SELECT bytes, min(image_id) AS content_class,
+           count(*)::BIGINT AS class_size FROM i GROUP BY bytes)
+       SELECT i.image_id, s.fmt, cls.content_class, cls.class_size,
+         (CASE WHEN s.decode_status = 'ok' THEN 1 ELSE 0 END)::INT AS has_pdq,
+         s.decode_status
+       FROM i JOIN cls ON cls.bytes = i.bytes
+            JOIN $oSigs s ON s.image_id = i.image_id
        ORDER BY i.image_id"""
 
   /** Caption MinHash LSH: bands from the raw row slices (pos//rows), LSH

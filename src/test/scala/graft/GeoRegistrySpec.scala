@@ -50,6 +50,23 @@ class GeoRegistrySpec extends AnyFunSuite {
     assert(night.altitude < 0)
   }
 
+  test("sun position absolute anchor: the Kaanapali sunset fixture (P18)") {
+    // The reference pins one absolute value (position_test.rs output,
+    // tests/Kaanapali_beach_sunrise_on_Maui_Hawaii.720p.jpg.txt): GPS
+    // (20.91297, -156.69383), UTC 2018-08-09 05:10:21 ⇒ azimuth 288.2067°,
+    // altitude -2.9160° — the sun setting in the WEST at 7:10 PM local,
+    // proving the GPS-UTC-vs-camera-clock handling and the az/alt sign
+    // conventions at once. NOAA (ours) vs the reference's SPA-style
+    // algorithm agree well under 1° in azimuth; altitude is compared at
+    // ±0.5° (the two differ in refraction treatment near the horizon).
+    val epoch = java.time.Instant.parse("2018-08-09T05:10:21Z").getEpochSecond
+    val p = Geo.sunPosition(-156.69383, 20.91297, epoch)
+    assert(math.abs(p.azimuth - 288.2067) < 1.0,
+      s"Kaanapali azimuth ${p.azimuth}, reference 288.2067")
+    assert(math.abs(p.altitude - -2.9160) < 0.5,
+      s"Kaanapali altitude ${p.altitude}, reference -2.9160")
+  }
+
   test("dms to decimal (P15)") {
     assert(math.abs(Geo.dmsToDecimal(156, 40, 30, "W") - (-156.675)) < 1e-9)
     assert(math.abs(Geo.dmsToDecimal(20, 56, 0, "N") - 20.9333333333) < 1e-6)
