@@ -80,11 +80,27 @@ object CorpusState {
     finally out.close()
   }
 
-  /** Highest committed state version (0 when only the batch run exists). */
+  /** Highest committed state version (0 when only the batch run exists).
+    * One directory listing, not a marker-probe RPC per version — against
+    * an object store with hundreds of uncompacted versions the while-loop
+    * probe was one round-trip each (round-3 VERDICT minor #3). Versions
+    * must be contiguous from 1 (sequential single-writer chaining); a gap
+    * means a torn store and is refused rather than silently truncated. */
   def version(spark: SparkSession, corpusWork: String): Int = {
-    var v = 0
-    while (readFile(spark, marker(corpusWork, v + 1)).isDefined) v += 1
-    v
+    val f = fs(spark, corpusWork)
+    val dir = new Path(corpusWork)
+    if (!f.exists(dir)) return 0
+    val vs = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("_state_v\\d+"))
+      .map(_.stripPrefix("_state_v").toInt)
+    if (vs.isEmpty) 0
+    else {
+      val top = vs.max
+      require(vs.toSet == (1 to top).toSet,
+        s"corpus state markers are not contiguous (found ${vs.sorted.mkString(",")}) " +
+          "— torn state store")
+      top
+    }
   }
 
   def owner(spark: SparkSession, corpusWork: String, v: Int): Option[String] =

@@ -72,6 +72,27 @@ class GeoRegistrySpec extends AnyFunSuite {
     assert(math.abs(Geo.dmsToDecimal(20, 56, 0, "N") - 20.9333333333) < 1e-6)
   }
 
+  test("registry merge commits a delta-sized segment (scale contract)") {
+    // the RegistryBench contract at fixture size: a merge whose rows are
+    // half new / half already-registered commits EXACTLY the new rows
+    // (anti-join discards re-registrations) — the per-run write is
+    // O(delta) no matter the registry size
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-delta").toString
+    val path = s"$dir/registry"
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, i.toLong + 1, i.toLong + 2, i.toLong + 3, f"uuid-$i%06d"))
+      .toDF("h0", "h1", "h2", "h3", "group_uuid")
+    GroupRegistry.merge(spark, path, rows(0 until 100))
+    GroupRegistry.merge(spark, path, rows(90 until 120)) // 90..99 old, 100..119 new
+    val segs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).sorted
+    assert(segs.length == 2, segs.mkString(","))
+    assert(spark.read.parquet(s"$path/${segs.last}").count() == 30 - 10,
+      "delta segment must hold only the previously-unregistered rows")
+    assert(GroupRegistry.read(spark, path).count() == 120)
+  }
+
   test("group registry: deterministic mint + cross-run reuse (S11/J7)") {
     import spark.implicits._
     val assembled = Seq(
