@@ -30,8 +30,9 @@ object StreamingIngest {
     * tests with MemoryStream.addData + processAllAvailable). */
   def start(spark: SparkSession, stream: DataFrame, corpusWork: String,
             ingestWork: String,
-            threshold: Int = Pipeline.DefaultThreshold,
-            registryPath: Option[String] = None): StreamingQuery =
+            threshold: Int = -1,
+            registryPath: Option[String] = None,
+            algorithm: String = "pdq"): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$ingestWork/_stream_ckpt")
@@ -40,7 +41,7 @@ object StreamingIngest {
         if (batch.limit(1).count() > 0) {
           Incremental.run(spark, batch.toDF(), corpusWork,
             s"$ingestWork/batch_$id", threshold, registryPath = registryPath,
-            fullOutput = false)
+            fullOutput = false, algorithm = algorithm)
           ()
         }
       }

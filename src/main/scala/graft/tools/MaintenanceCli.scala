@@ -30,14 +30,17 @@ object MaintenanceCli {
       .map(_.getName).count(_.startsWith("state_v"))
     println(s"== corpus state: version $vBefore, $stateDirs version dir(s) after gc ==")
 
-    val indexPath = s"$corpusWork/band_index"
-    if (BandIndex.exists(spark, indexPath)) {
-      BandIndex.compact(spark, indexPath)
-      val segs = new java.io.File(indexPath).listFiles()
-        .map(_.getName).count(_.startsWith("seg_"))
-      println(s"== band index: compacted to $segs segment(s) " +
-        s"(${BandIndex.chunkBitsOf(spark, indexPath)}-bit chunks) ==")
-    }
+    // both algorithm-stamped indexes, when present (a corpus can carry a
+    // pdq and a phash index side by side since round 4)
+    Seq(s"$corpusWork/band_index", s"$corpusWork/band_index_phash")
+      .filter(BandIndex.exists(spark, _)).foreach { indexPath =>
+        BandIndex.compact(spark, indexPath)
+        val segs = new java.io.File(indexPath).listFiles()
+          .map(_.getName).count(_.startsWith("seg_"))
+        println(s"== band index (${BandIndex.algoOf(spark, indexPath)}): " +
+          s"compacted to $segs segment(s) " +
+          s"(${BandIndex.chunkBitsOf(spark, indexPath)}-bit chunks) ==")
+      }
 
     registryPath.foreach { p =>
       GroupRegistry.compact(spark, p)

@@ -53,4 +53,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got == full,
       s"only-stream=${(got -- full).take(3)} only-full=${(full -- got).take(3)}")
   }
+
+  test("phash-mode streamed ingest == phash batch run (u64 index end-to-end)") {
+    import spark.implicits._
+    val rows = (40L until 58L).flatMap(Synth.rowsForBase)
+    val (corpusRows, streamed) = rows.zipWithIndex.partition(_._2 % 3 != 0)
+    def tup(rs: Seq[synth.SynthRow]) =
+      rs.map(r => (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+    def toDF(rs: Seq[synth.SynthRow]) =
+      tup(rs).toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-sing-ph").toString
+    Pipeline.run(spark, toDF(corpusRows.map(_._1)), s"$base/corpus-work",
+      algorithm = "phash")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Array[Byte], Int, Int, String, String, Long)]
+    val stream = mem.toDF()
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val q = graft.streaming.StreamingIngest.start(
+      spark, stream, s"$base/corpus-work", s"$base/ingest", algorithm = "phash")
+    try {
+      mem.addData(tup(streamed.map(_._1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ver = CorpusState.version(spark, s"$base/corpus-work")
+    val comps = CorpusState.readComponents(spark, s"$base/corpus-work", ver)
+    val sig = CorpusState.readSignatures(spark, s"$base/corpus-work", ver)
+    val got = graft.groups.Groups.assemble(sig, comps)
+      .select("comp", "image_id").collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getString(1)).toSet).toSet
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work",
+      algorithm = "phash")
+      .select("comp", "image_id").collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getString(1)).toSet).toSet
+    assert(got == full,
+      s"only-stream=${(got -- full).take(3)} only-full=${(full -- got).take(3)}")
+    assert(graft.lsh.BandIndex.algoOf(spark,
+      s"$base/corpus-work/band_index_phash") == graft.lsh.BandIndex.AlgoPhash64)
+  }
 }
