@@ -274,13 +274,19 @@ object Incremental {
     * for the other algorithm is refused (the band keys are incomparable).
     * `threshold` < 0 ⇒ the algorithm's own default (40 pdq / 15 phash),
     * same contract as [[Pipeline.run]]. */
+  /** `contentStar`: the [[Pipeline.run]] opt-in flag's incremental
+    * counterpart — byte-identical files (including UNDECODABLE ones)
+    * group across the corpus/delta boundary via content-hash star edges.
+    * Use the SAME setting across a chain as the batch run used: a corpus
+    * built without it has no corpus-internal content groups to join. */
   def run(spark: SparkSession, deltaImages: DataFrame, corpusWork: String,
           deltaWork: String,
           threshold: Int = -1,
           registryPath: Option[String] = None,
           fullOutput: Boolean = true,
           compactEvery: Int = 8,
-          algorithm: String = "pdq"): DataFrame = {
+          algorithm: String = "pdq",
+          contentStar: Boolean = false): DataFrame = {
     require(algorithm == "pdq" || algorithm == "phash",
       s"unknown algorithm '$algorithm' (pdq | phash)")
     val thr =
@@ -385,14 +391,50 @@ object Incremental {
         .join(corpusSig.select("image_id"), Seq("image_id"), "left_anti")
         .withColumn("ord", monotonically_increasing_id() + lit(maxOrd + 1)))
 
-    val (cross, _) = ckpt.stage("delta_cross_edges")(
-      BandIndex.probe(spark, indexPath, deltaSig, thr)
+    val (cross, _) = ckpt.stage("delta_cross_edges")({
+      val probed = BandIndex.probe(spark, indexPath, deltaSig, thr)
         .select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"), col("dist")))
+          greatest(col("a"), col("b")).as("b"), col("dist"))
+      if (!contentStar) probed
+      else {
+        // delta ↔ corpus byte-identity: link each delta row to the MIN
+        // corpus ord holding its content hash (star — corpus rows with
+        // that hash are already connected among themselves by the prior
+        // contentStar runs). The corpus scan is semi-filtered by a
+        // broadcast of the delta's hash set when small (same O(touched)
+        // shape as the band probe); past the cap, plain shuffled join.
+        val deltaHashes = deltaSig.select("content_hash").distinct()
+        val corpusSide0 = corpusSig.select(col("content_hash"), col("ord"))
+        val corpusSide =
+          if (deltaSig.count() <= BandIndex.MaxKeyFilterRows)
+            corpusSide0.join(broadcast(deltaHashes), Seq("content_hash"),
+              "left_semi")
+          else corpusSide0
+        val hubs = corpusSide.groupBy("content_hash").agg(min("ord").as("c_ord"))
+        val contentCross = deltaSig.select(col("content_hash"), col("ord"))
+          .join(hubs, "content_hash")
+          .select(least(col("ord"), col("c_ord")).as("a"),
+            greatest(col("ord"), col("c_ord")).as("b"), lit(0).as("dist"))
+        probed.unionByName(contentCross).groupBy("a", "b")
+          .agg(min("dist").as("dist"))
+      }
+    })
 
-    val (internal, _) = ckpt.stage("delta_internal_edges")(
-      if (algorithm == "phash") graft.lsh.BandJoin64.edges(deltaSig, thr)
-      else BandJoin.edges(deltaSig, thr))
+    val (internal, _) = ckpt.stage("delta_internal_edges")({
+      val hashEdges =
+        if (algorithm == "phash") graft.lsh.BandJoin64.edges(deltaSig, thr)
+        else BandJoin.edges(deltaSig, thr)
+      if (!contentStar) hashEdges
+      else {
+        // delta-internal byte-identity star (hub = min delta ord per hash)
+        val hubs = deltaSig.groupBy("content_hash").agg(min("ord").as("hub"))
+        val star = deltaSig.join(hubs, Seq("content_hash"))
+          .where(col("ord") =!= col("hub"))
+          .select(least(col("ord"), col("hub")).as("a"),
+            greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
+        hashEdges.unionByName(star).groupBy("a", "b").agg(min("dist").as("dist"))
+      }
+    })
 
     val oldComps = CorpusState.readComponents(spark, corpusWork, baseVer)
 

@@ -240,6 +240,40 @@ class IncrementalSpec extends AnyFunSuite {
       s"spurious repair segments: ${repairSegs.mkString(",")}")
   }
 
+  test("contentStar crosses the corpus/delta boundary (undecodable twins group)") {
+    // Pipeline.run(contentStar = true)'s incremental counterpart: a
+    // corrupt (undecodable) file uploaded again in a LATER delta must
+    // join its batch twin via byte identity — no hash exists to band on
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-cstar").toString
+    val corrupt = Array[Byte](0x12, 0x34, 0x56, 0x78, 0x12, 0x34)
+    def brokenRow(id: String, bytes: Array[Byte]) =
+      (id, bytes, 16, 16, "jpg", "broken", 0L)
+    val good = rows.take(6)
+    val corpusDf = toDF(good).unionByName(
+      Seq(brokenRow("aaa_corrupt_v1.jpg", corrupt))
+        .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    Pipeline.run(spark, corpusDf, s"$base/corpus-work", Threshold,
+      contentStar = true)
+    val deltaDf = toDF(rows.slice(6, 10)).unionByName(
+      Seq(brokenRow("zzz_corrupt_v2.jpg", corrupt),
+        brokenRow("zzz_other_corrupt.jpg", Array[Byte](1, 2, 3, 4)))
+        .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    val inc = Incremental.run(spark, deltaDf, s"$base/corpus-work",
+      s"$base/delta-work", Threshold, contentStar = true)
+    val full = Pipeline.run(spark, corpusDf.unionByName(deltaDf),
+      s"$base/full-work", Threshold, contentStar = true)
+    assert(groupsOf(inc) == groupsOf(full),
+      s"only-inc=${(groupsOf(inc) -- groupsOf(full)).take(3)} " +
+        s"only-full=${(groupsOf(full) -- groupsOf(inc)).take(3)}")
+    // the corrupt twins specifically must share a group across the boundary
+    assert(groupsOf(inc).exists(g =>
+      g.contains("aaa_corrupt_v1.jpg") && g.contains("zzz_corrupt_v2.jpg")),
+      "byte-identical undecodable twins did not group across the boundary")
+    assert(!groupsOf(inc).exists(_.contains("zzz_other_corrupt.jpg")),
+      "a unique corrupt file must stay ungrouped")
+  }
+
   test("auto-compact every K deltas keeps the layer stack shallow") {
     // 9 chained deltas with compactEvery=3: snapshots at v3/v6/v9 + gc
     // must keep on-disk state_v* dirs bounded by K and index segments
