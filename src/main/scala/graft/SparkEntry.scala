@@ -62,6 +62,8 @@ object SparkEntry {
     "q_ann_ivf" -> (TQ.qAnnIvf _),
     "q_embed_near_dup" -> (TQ.qEmbedNearDup _),
     "q_substring_dup" -> (TQ.qSubstringDup _),
+    "q_suffix_ranks" -> (TQ.qSuffixRanks _),
+    "q_suffix_dup_classes" -> (TQ.qSuffixDupClasses _),
     // the image pipeline itself (rows-only; oracle = PipelineSpec)
     "q_img_signatures" -> (IQ.qImgSignatures _),
     "q_img_sig_meta" -> (IQ.qImgSigMeta _),
@@ -131,6 +133,8 @@ object SparkEntry {
     "q_ann_ivf" -> TQ.sqlAnnIvf(d),
     "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d),
     "q_substring_dup" -> TQ.sqlSubstringDup(d),
+    "q_suffix_ranks" -> TQ.sqlSuffixRanks(d),
+    "q_suffix_dup_classes" -> TQ.sqlSuffixDupClasses(d),
     // the REAL image pipeline's post-kernel stages, re-derived in DuckDB
     // from the exported kernel tables (brute-force + recursive-CTE
     // independent algorithms — see ImageQueries oracle section)

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Distributed suffix array over a document corpus — the third substring-
+ * dedup backend named by the north rule (MinHash / SimHash / SUFFIX-ARRAY
+ * substring), built with Manber-Myers PREFIX DOUBLING re-expressed as
+ * Spark relational rounds (the canonical distributed SA construction;
+ * the same shape Lee et al. 2022 "Deduplicating Training Data Makes
+ * Language Models Better" builds its exact-substring dedup on):
+ *
+ *   round 0: rank every suffix by its first character
+ *   round k: rank by the PAIR (rank of first 2^(k-1) chars, rank of the
+ *            suffix starting 2^(k-1) later) — a self-join on
+ *            (doc_id, pos + step) plus a dense re-rank
+ *
+ * O(log maxLen) rounds; every step is a scale-out shuffle (distinct →
+ * range-sort → ordinal assignment → key join), no driver-side data. The
+ * dense ordinal over sorted distinct keys uses `zipWithIndex` on a
+ * range-partitioned, partition-sorted frame — the one RDD drop-down in
+ * this module, justified because a global ordinal has no Dataset analog
+ * that scales (a window over the whole set is a single task).
+ *
+ * Suffixes are PER-DOCUMENT (no cross-doc concatenation, so no separator
+ * sentinels), compared corpus-wide: equal final ranks ⇔ byte-identical
+ * suffixes, which is exactly the exact-substring-dup signal (two docs
+ * sharing a tied rank at suffix length ≥ L share an L-char substring
+ * reaching both suffixes' ends).
+ *
+ * At 10¹²-char scale a full SA is rows-per-character — the fingerprint
+ * path (TextEmbedQueries.qSubstringDup) remains the 100 TB default;
+ * this operator is the exact-semantics backend for shard-sized corpora
+ * (per-partition dedup, audits, oracle checks).
+ */
+object SuffixArray {
+
+  /** Dense global ordinal for each distinct key tuple, in key order:
+    * distinct → range-partition → sort-within → zipWithIndex (+1). The
+    * returned frame is `df` plus `outCol`, keys resolved by join. */
+  private def rankByKey(df: DataFrame, keys: Seq[String],
+                        outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val distinctKeys = df.select(keys.map(col): _*).distinct()
+      .repartitionByRange(p, keys.map(col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
+    val schema = StructType(
+      distinctKeys.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      distinctKeys.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    df.join(ranked, keys)
+  }
+
+  /** (doc_id, pos, srank) for every suffix of every non-empty document:
+    * `pos` is 1-based, `srank` the corpus-wide DENSE rank of the suffix
+    * string (ties ⇔ identical suffixes). `docs` needs (doc_id, text). */
+  def ranks(docs: DataFrame): DataFrame = {
+    val nonEmpty = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= 1)
+    val maxLen = {
+      val r = nonEmpty.agg(max(length(col("text")))).head()
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    val suffixes = nonEmpty
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"),
+        expr("substring(text, pos, 1)").as("c1"))
+    var cur = rankByKey(suffixes, Seq("c1"), "srank")
+      .select(col("doc_id"), col("pos"), col("srank"))
+      .localCheckpoint() // break lineage growth across doubling rounds
+
+    var step = 1
+    var ties = hasTies(cur)
+    while (step < maxLen && ties) {
+      val right = cur.select(col("doc_id"), (col("pos") - step).as("pos"),
+        col("srank").as("r2"))
+      // a suffix shorter than step+1 chars has no right half: -1 sorts
+      // before every real rank, so shorter sorts first — exactly string
+      // prefix order ("abc" < "abcd")
+      val paired = cur.join(right, Seq("doc_id", "pos"), "left")
+        .na.fill(-1L, Seq("r2"))
+      cur = rankByKey(paired, Seq("srank", "r2"), "nsrank")
+        .select(col("doc_id"), col("pos"), col("nsrank").as("srank"))
+        .localCheckpoint()
+      step *= 2
+      ties = hasTies(cur)
+    }
+    // post-loop invariant: either ranks are fully distinct, or the
+    // compared prefix (≥ maxLen chars) covers every suffix — tied ranks
+    // are byte-identical suffixes
+    cur
+  }
+
+  private def hasTies(cur: DataFrame): Boolean = {
+    val r = cur.agg(count(lit(1)), countDistinct(col("srank"))).head()
+    r.getLong(0) != r.getLong(1)
+  }
+
+  /** Exact duplicated-suffix classes with at least `minLen` characters:
+    * groups of ≥2 suffixes sharing a final rank — i.e. byte-identical
+    * text runs reaching the end of each holder. The suffix-array form of
+    * exact substring dedup (tail-anchored; the fingerprint operator
+    * covers interior spans at scale). */
+  def dupClasses(docs: DataFrame, minLen: Int): DataFrame = {
+    val lens = docs.select(col("doc_id"), length(col("text")).as("dlen"))
+    ranks(docs).join(lens, "doc_id")
+      .where(col("dlen") - col("pos") + 1 >= minLen)
+      .groupBy("srank")
+      .agg(count(lit(1)).as("n_suffixes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("m"))
+      .where(col("n_suffixes") > 1)
+      .select(col("srank"), col("n_suffixes"), col("n_docs"),
+        col("m.doc_id").as("first_doc"), col("m.pos").as("first_pos"))
+  }
+}

@@ -447,6 +447,57 @@ object TextEmbedQueries {
        SELECT qid, rank, nb, score FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
   // =========================================================================
+  // TRUE suffix-array backend (functions/SuffixArray): Manber-Myers
+  // prefix-doubling ranks, oracled against DuckDB's DIRECT suffix sort
+  // (dense_rank over ORDER BY substr) — an independent algorithm, so
+  // equality proves the O(log n)-round distributed construction, not a
+  // reimplementation of it. Dup classes = tied final ranks at suffix
+  // length ≥ MinLen (tail-anchored exact duplicate text); the
+  // fingerprint operator below covers interior spans at scale.
+  // =========================================================================
+  private val SuffixDupMinLen = 20
+
+  def qSuffixRanks(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SuffixArray.ranks(
+        rd(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("srank"))
+      .orderBy("doc_id", "pos")
+
+  def sqlSuffixRanks(dir: String): String =
+    s"""SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+       dense_rank() OVER (ORDER BY substr(text, i::INT))::BIGINT AS srank
+       FROM documents, range(1, 1001) r(i)
+       WHERE i <= len(text)
+       ORDER BY doc_id, pos"""
+
+  def qSuffixDupClasses(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SuffixArray.dupClasses(
+        rd(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        SuffixDupMinLen)
+      .select(col("srank"), col("n_suffixes"), col("n_docs"),
+        col("first_doc"), col("first_pos").cast("long").as("first_pos"))
+      .orderBy("srank")
+
+  def sqlSuffixDupClasses(dir: String): String =
+    s"""WITH sa AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+         len(text)::BIGINT AS dlen,
+         dense_rank() OVER (ORDER BY substr(text, i::INT))::BIGINT AS srank
+         FROM documents, range(1, 1001) r(i) WHERE i <= len(text)),
+       eligible AS (SELECT * FROM sa WHERE dlen - pos + 1 >= $SuffixDupMinLen),
+       grp AS (SELECT srank, count(*)::BIGINT AS n_suffixes,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM eligible GROUP BY srank HAVING count(*) > 1),
+       sel AS (SELECT srank, doc_id, pos,
+           row_number() OVER (PARTITION BY srank ORDER BY doc_id, pos) AS rn
+         FROM eligible)
+       SELECT g.srank, g.n_suffixes, g.n_docs,
+         s.doc_id AS first_doc, s.pos AS first_pos
+       FROM grp g JOIN sel s ON s.srank = g.srank AND s.rn = 1
+       ORDER BY g.srank"""
+
+  // =========================================================================
   // Substring-span dedup (the suffix-array-substring family, Lee et al.
   // 2022 "Deduplicating Training Data Makes Language Models Better"):
   // fingerprint fixed-length windows at a stride, keep windows whose

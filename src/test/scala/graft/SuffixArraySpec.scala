@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.SuffixArray
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prefix-doubling suffix array vs a direct in-memory suffix sort —
+  * ranks must equal the dense rank of each suffix string corpus-wide,
+  * ties exactly on byte-identical suffixes. */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def bruteRanks(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val suffixes = for {
+      (id, text) <- docs if text.nonEmpty
+      pos <- 1 to text.length
+    } yield ((id, pos), text.substring(pos - 1))
+    val order = suffixes.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    suffixes.map { case (k, s) => k -> order(s) }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    import spark.implicits._
+    SuffixArray.ranks(docs.toDF("doc_id", "text"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+  }
+
+  test("ranks == direct suffix sort (mixed corpus, shared substrings)") {
+    val docs = Seq(
+      1L -> "banana", 2L -> "bananas", 3L -> "anagram",
+      4L -> "banana", // exact dup of doc 1: every suffix ties
+      5L -> "aaaaaaa", 6L -> "", 7L -> "b")
+    val got = run(docs)
+    val want = bruteRanks(docs)
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+    // dup doc: all suffixes of doc 4 tie with doc 1's
+    (1 to 6).foreach(p => assert(got((1L, p)) == got((4L, p))))
+    // empty doc contributes nothing
+    assert(!got.keys.exists(_._1 == 6L))
+  }
+
+  test("ranks == direct sort on random corpus (small alphabet forces deep ties)") {
+    val r = new scala.util.Random(7)
+    val docs = (1L to 40L).map(i =>
+      i -> Seq.fill(1 + r.nextInt(60))("ab" (r.nextInt(2))).mkString)
+    val got = run(docs)
+    assert(got == bruteRanks(docs))
+  }
+
+  test("dup classes find tail-anchored duplicate text across docs") {
+    import spark.implicits._
+    val tail = "the quick brown fox jumps over it"
+    val docs = Seq(
+      10L -> s"first document ends with $tail",
+      20L -> s"second one also ends with $tail",
+      30L -> "unrelated content entirely here")
+    val classes = SuffixArray.dupClasses(docs.toDF("doc_id", "text"), minLen = 10)
+      .collect()
+    assert(classes.nonEmpty, "no dup classes found")
+    // the longest shared tail (≥10 chars) appears as a class spanning docs 10+20
+    assert(classes.forall(_.getLong(2) == 2), "classes must span both docs")
+    assert(classes.exists(r => r.getLong(1) == 2 && r.getLong(2) == 2))
+    // no class involves the unrelated doc
+    val ranksOf30 = SuffixArray.ranks(docs.toDF("doc_id", "text"))
+      .where(org.apache.spark.sql.functions.col("doc_id") === 30L)
+      .select("srank").collect().map(_.getLong(0)).toSet
+    assert(classes.forall(r => !ranksOf30.contains(r.getLong(0))))
+  }
+}
