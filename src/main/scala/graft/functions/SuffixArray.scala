@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Distributed suffix array over a document corpus — the third substring-
@@ -38,23 +37,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object SuffixArray {
 
   /** Dense global ordinal for each distinct key tuple, in key order:
-    * distinct → range-partition → sort-within → zipWithIndex (+1). The
-    * returned frame is `df` plus `outCol`, keys resolved by join. */
+    * distinct → [[Ranks.globalRowNumber]] (distinct keys ARE a total
+    * order, so row number == dense rank). The returned frame is `df`
+    * plus `outCol`, keys resolved by join. */
   private def rankByKey(df: DataFrame, keys: Seq[String],
-                        outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val p = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val distinctKeys = df.select(keys.map(col): _*).distinct()
-      .repartitionByRange(p, keys.map(col): _*)
-      .sortWithinPartitions(keys.head, keys.tail: _*)
-    val schema = StructType(
-      distinctKeys.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val ranked = spark.createDataFrame(
-      distinctKeys.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1L))
-      }, schema)
-    df.join(ranked, keys)
-  }
+                        outCol: String): DataFrame =
+    df.join(
+      Ranks.globalRowNumber(df.select(keys.map(col): _*).distinct(),
+        keys.map(col), outCol),
+      keys)
 
   /** (doc_id, pos, srank) for every suffix of every non-empty document:
     * `pos` is 1-based, `srank` the corpus-wide DENSE rank of the suffix

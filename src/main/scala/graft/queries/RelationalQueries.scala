@@ -537,11 +537,13 @@ object RelationalQueries {
     val comps = qConnectedComponents(spark, dir)
     val maxDist = edges.join(comps, edges("a") === comps("id"))
       .groupBy("comp").agg(max("dist").cast("long").as("max_dist"))
-    val w = Window.orderBy(col("max_dist").asc, col("n").desc, col("comp").asc)
-    groups.join(maxDist, Seq("comp"), "left")
-      .na.fill(0, Seq("max_dist"))
-      .select(col("comp"), col("max_dist"),
-        row_number().over(w).cast("long").as("rank"))
+    // global total-order rank, scalably (no single-task WindowExec):
+    // range-sort + zipWithIndex via Ranks; comp asc makes the order total
+    graft.functions.Ranks.globalRowNumber(
+        groups.join(maxDist, Seq("comp"), "left")
+          .na.fill(0, Seq("max_dist")),
+        Seq(col("max_dist").asc, col("n").desc, col("comp").asc), "rank")
+      .select(col("comp"), col("max_dist"), col("rank"))
       .orderBy("comp")
   }
   def sqlGroupOrderRank(dir: String): String =
@@ -645,14 +647,14 @@ object RelationalQueries {
   // zero-pad key without lookarounds: DuckDB regexp_extract_all splits into
   // digit/non-digit runs, list_transform pads the digit runs.
   // =========================================================================
-  def qNaturalSort(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(
-      graft.functions.NaturalSort.key(col("p_name")).asc, col("p_partkey").asc)
-    rd(spark, dir, "part")
-      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"))
-      .withColumn("nat_rank", row_number().over(w).cast("long"))
+  def qNaturalSort(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ranks.globalRowNumber(
+        rd(spark, dir, "part")
+          .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name")),
+        Seq(graft.functions.NaturalSort.key(col("p_name")).asc,
+          col("p_partkey").asc), "nat_rank")
+      .select("p_partkey", "p_name", "nat_rank")
       .orderBy("p_partkey")
-  }
   def sqlNaturalSort(dir: String): String =
     s"""WITH keyed AS (
          SELECT p_partkey::BIGINT AS p_partkey, p_name,
@@ -811,7 +813,7 @@ object RelationalQueries {
           .otherwise((col("event_id") * 91) % 100000).as("exif_ts"))
     val sortCols = graft.functions.NaturalSort.exifDateOrder(
       col("exif_ts"), col("mtime"), desc = false) :+ col("id").asc
-    e.withColumn("rnk", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    graft.functions.Ranks.globalRowNumber(e, sortCols, "rnk")
       .orderBy("id")
   }
   def sqlExifDateOrder(dir: String): String =
