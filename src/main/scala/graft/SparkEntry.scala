@@ -64,6 +64,7 @@ object SparkEntry {
     "q_substring_dup" -> (TQ.qSubstringDup _),
     "q_suffix_ranks" -> (TQ.qSuffixRanks _),
     "q_suffix_dup_classes" -> (TQ.qSuffixDupClasses _),
+    "q_suffix_lcp_pairs" -> (TQ.qSuffixLcpPairs _),
     // the image pipeline itself (rows-only; oracle = PipelineSpec)
     "q_img_signatures" -> (IQ.qImgSignatures _),
     "q_img_sig_meta" -> (IQ.qImgSigMeta _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_substring_dup" -> TQ.sqlSubstringDup(d),
     "q_suffix_ranks" -> TQ.sqlSuffixRanks(d),
     "q_suffix_dup_classes" -> TQ.sqlSuffixDupClasses(d),
+    "q_suffix_lcp_pairs" -> TQ.sqlSuffixLcpPairs(d),
     // the REAL image pipeline's post-kernel stages, re-derived in DuckDB
     // from the exported kernel tables (brute-force + recursive-CTE
     // independent algorithms — see ImageQueries oracle section)

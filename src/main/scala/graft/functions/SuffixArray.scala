@@ -92,6 +92,41 @@ object SuffixArray {
     r.getLong(0) != r.getLong(1)
   }
 
+  /** The SA-scan duplicate detector (the core loop of suffix-array
+    * substring dedup): every suffix paired with its PREDECESSOR in rank
+    * order, LCP computed capped at `maxLcp` — in a sorted suffix array,
+    * any repeated substring of length L surfaces as an adjacent pair
+    * with LCP ≥ L, so scanning adjacencies finds all duplicated spans
+    * without any pairwise explosion. Adjacency comes from
+    * [[Ranks.globalRowNumber]] over the total order (srank, doc_id, pos)
+    * + a self-join on ordinal±1 — scalable, no single-task window.
+    * Returns (a_doc, a_pos, b_doc, b_pos, lcp) for pairs with
+    * lcp ≥ minLcp. */
+  def adjacentLcp(docs: DataFrame, minLcp: Int, maxLcp: Int = 64): DataFrame = {
+    val withPre = ranks(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("pos"), col("srank"),
+        expr(s"substring(text, pos, $maxLcp)").as("pre"))
+    val ord = Ranks.globalRowNumber(withPre,
+      Seq(col("srank").asc, col("doc_id").asc, col("pos").asc), "ordn")
+    val a = ord.select(col("ordn"), col("doc_id").as("a_doc"),
+      col("pos").as("a_pos"), col("pre").as("a_pre"))
+    val b = ord.select((col("ordn") + 1).as("ordn"), col("doc_id").as("b_doc"),
+      col("pos").as("b_pos"), col("pre").as("b_pre"))
+    // capped LCP of the two ≤maxLcp-char prefixes: first differing
+    // position − 1, clamped by both lengths (substring past the end is ''
+    // — equal to '' — so the both-ended case needs the clamp)
+    val lcp = expr(
+      s"""least(coalesce(array_min(filter(transform(sequence(1, $maxLcp),
+         i -> IF(substring(a_pre, i, 1) <> substring(b_pre, i, 1), i,
+                 CAST(null AS INT))), x -> x IS NOT NULL)), ${maxLcp + 1}) - 1,
+         length(a_pre), length(b_pre))""")
+    a.join(b, "ordn")
+      .withColumn("lcp", lcp.cast("long"))
+      .where(col("lcp") >= minLcp)
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"), col("lcp"))
+  }
+
   /** Exact duplicated-suffix classes with at least `minLen` characters:
     * groups of ≥2 suffixes sharing a final rank — i.e. byte-identical
     * text runs reaching the end of each holder. The suffix-array form of

@@ -497,6 +497,38 @@ object TextEmbedQueries {
        FROM grp g JOIN sel s ON s.srank = g.srank AND s.rn = 1
        ORDER BY g.srank"""
 
+  private val SuffixLcpMin = 16
+  private val SuffixLcpCap = 64
+
+  def qSuffixLcpPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SuffixArray.adjacentLcp(
+        rd(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        SuffixLcpMin, SuffixLcpCap)
+      .select(col("a_doc"), col("a_pos").cast("long").as("a_pos"),
+        col("b_doc"), col("b_pos").cast("long").as("b_pos"), col("lcp"))
+      .orderBy("a_doc", "a_pos", "b_doc", "b_pos")
+
+  def sqlSuffixLcpPairs(dir: String): String =
+    s"""WITH sa AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+         substr(text, i::INT, $SuffixLcpCap) AS pre,
+         dense_rank() OVER (ORDER BY substr(text, i::INT)) AS srank
+         FROM documents, range(1, 1001) r(i) WHERE i <= len(text)),
+       ord AS (SELECT *,
+           row_number() OVER (ORDER BY srank, doc_id, pos) AS ordn FROM sa),
+       pairs AS (SELECT x.doc_id AS a_doc, x.pos AS a_pos,
+           y.doc_id AS b_doc, y.pos AS b_pos, x.pre AS a_pre, y.pre AS b_pre
+         FROM ord x JOIN ord y ON y.ordn = x.ordn - 1),
+       scored AS (SELECT a_doc, a_pos, b_doc, b_pos,
+           least(coalesce((SELECT min(i) FROM range(1, ${SuffixLcpCap + 1}) r(i)
+                           WHERE substr(a_pre, i::INT, 1) <> substr(b_pre, i::INT, 1)),
+                          ${SuffixLcpCap + 1}) - 1,
+                 len(a_pre), len(b_pre))::BIGINT AS lcp
+         FROM pairs)
+       SELECT a_doc, a_pos, b_doc, b_pos, lcp FROM scored
+       WHERE lcp >= $SuffixLcpMin
+       ORDER BY a_doc, a_pos, b_doc, b_pos"""
+
   // =========================================================================
   // Substring-span dedup (the suffix-array-substring family, Lee et al.
   // 2022 "Deduplicating Training Data Makes Language Models Better"):

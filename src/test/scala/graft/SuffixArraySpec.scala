@@ -48,6 +48,38 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == bruteRanks(docs))
   }
 
+  test("adjacent-rank LCP scan == brute-force sorted-suffix scan (interior spans)") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "aaa the duplicated interior span here bbb",
+      2L -> "ccc the duplicated interior span here ddd",
+      3L -> "totally different words only",
+      4L -> "aaa the duplicated interior span here bbb") // exact dup of 1
+    val minLcp = 12; val maxLcp = 64
+    val got = SuffixArray.adjacentLcp(docs.toDF("doc_id", "text"), minLcp, maxLcp)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toSet
+
+    // brute force: sort all suffixes (tie-break doc, pos), scan adjacency
+    val suffixes = (for {
+      (id, text) <- docs
+      pos <- 1 to text.length
+    } yield (text.substring(pos - 1), id, pos))
+      .sortBy { case (s, id, pos) => (s, id, pos) }
+    val want = suffixes.sliding(2).collect {
+      case Seq((sb, ib, pb), (sa, ia, pa)) =>
+        val la = sa.take(maxLcp); val lb = sb.take(maxLcp)
+        val lcp = la.zip(lb).takeWhile { case (x, y) => x == y }.length
+        ((ia, pa, ib, pb, lcp.toLong), lcp)
+    }.collect { case (row, lcp) if lcp >= minLcp => row }.toSet
+    assert(got == want,
+      s"only-got=${(got diff want).take(4)} only-want=${(want diff got).take(4)}")
+    // the interior planted span must surface across docs 1/2
+    assert(got.exists(p => Set(p._1, p._3) == Set(1L, 2L) ||
+      Set(p._1, p._3) == Set(2L, 4L)), s"planted interior span missing: $got")
+  }
+
   test("dup classes find tail-anchored duplicate text across docs") {
     import spark.implicits._
     val tail = "the quick brown fox jumps over it"
