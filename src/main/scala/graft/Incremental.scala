@@ -136,6 +136,29 @@ object CorpusState {
     }
   }
 
+  /** Write-once corpus-level flag marker (first writer wins; a later run
+    * requesting a DIFFERENT value is refused): grouping semantics like
+    * content-star are a property of the corpus CHAIN, not of one run —
+    * the same contract `_meta_algo` enforces for the index. A pre-flag
+    * corpus adopts the first post-flag run's value. */
+  def stampFlag(spark: SparkSession, workDir: String, name: String,
+                value: String): Unit = {
+    val p = s"$workDir/_meta_$name"
+    def refuse(prev: String): Unit = require(prev == value,
+      s"corpus at $workDir was built with $name=$prev; this run requested " +
+        s"$name=$value — the flag must stay consistent across the chain")
+    readFile(spark, p) match {
+      case Some(prev) => refuse(prev)
+      case None =>
+        fs(spark, workDir).mkdirs(new Path(workDir))
+        try writeFile(spark, p, value, overwrite = false)
+        catch {
+          case _: java.io.IOException => // lost a create race — verify
+            readFile(spark, p).foreach(refuse)
+        }
+    }
+  }
+
   /** Latest version ≤ v carrying a compaction snapshot, if any. */
   private def latestSnapshot(spark: SparkSession, corpusWork: String,
                              v: Int): Option[Int] =
@@ -250,6 +273,12 @@ object CorpusState {
  */
 object Incremental {
 
+  /** Broadcast cap for the contentStar delta-hash semi-filter: 500k
+    * 32-byte SHA-256 values ≈ 16 MB raw / low-hundreds MB as a hashed
+    * relation — sized for the wider key, unlike [[BandIndex
+    * .MaxKeyFilterRows]] which budgets 12-byte band keys. */
+  final val MaxContentHashBroadcast = 500000L
+
   /** Filesystem-safe idempotency token for this delta (segment + marker). */
   private def deltaToken(deltaWork: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -325,15 +354,18 @@ object Incremental {
       }
     }
 
+    // the content-star setting must match the corpus chain's (a corpus
+    // built without it has no corpus-internal content groups for the
+    // cross-edge star to lean on) — same write-once contract as _meta_algo
+    CorpusState.stampFlag(spark, corpusWork, "content_star", contentStar.toString)
+
     val corpusSig = CorpusState.readSignatures(spark, corpusWork, baseVer)
     // algorithm-stamped index path: a corpus can carry BOTH a pdq and a
     // phash index side by side (the reference's LMDB holds both hash
-    // columns per file, scanner.rs:1251-1294); the legacy unsuffixed dir
-    // keeps serving pre-round-4 pdq corpora
-    val legacyPath = s"$corpusWork/band_index"
+    // columns per file, scanner.rs:1251-1294); pdq stays at the
+    // unsuffixed dir pre-round-4 corpora already use
     val indexPath =
-      if (algorithm == "pdq" && BandIndex.exists(spark, legacyPath)) legacyPath
-      else if (algorithm == "pdq") legacyPath
+      if (algorithm == "pdq") s"$corpusWork/band_index"
       else s"$corpusWork/band_index_phash"
     if (!BandIndex.exists(spark, indexPath)) {
       // index chunk width: wide only when the corpus is past the parity
@@ -400,13 +432,17 @@ object Incremental {
         // delta ↔ corpus byte-identity: link each delta row to the MIN
         // corpus ord holding its content hash (star — corpus rows with
         // that hash are already connected among themselves by the prior
-        // contentStar runs). The corpus scan is semi-filtered by a
-        // broadcast of the delta's hash set when small (same O(touched)
-        // shape as the band probe); past the cap, plain shuffled join.
+        // contentStar runs, enforced by the _meta_content_star stamp).
+        // The corpus scan is semi-filtered by a broadcast of the delta's
+        // DISTINCT hash set when small — gated on the distinct count
+        // (what is actually broadcast) with a cap sized for 32-byte
+        // hashes, not BandIndex's 12-byte band keys. Past it, plain
+        // shuffled join (the right plan for corpus-sized deltas).
         val deltaHashes = deltaSig.select("content_hash").distinct()
+          .localCheckpoint() // one materialization: count + broadcast
         val corpusSide0 = corpusSig.select(col("content_hash"), col("ord"))
         val corpusSide =
-          if (deltaSig.count() <= BandIndex.MaxKeyFilterRows)
+          if (deltaHashes.count() <= MaxContentHashBroadcast)
             corpusSide0.join(broadcast(deltaHashes), Seq("content_hash"),
               "left_semi")
           else corpusSide0
@@ -425,15 +461,11 @@ object Incremental {
         if (algorithm == "phash") graft.lsh.BandJoin64.edges(deltaSig, thr)
         else BandJoin.edges(deltaSig, thr)
       if (!contentStar) hashEdges
-      else {
-        // delta-internal byte-identity star (hub = min delta ord per hash)
-        val hubs = deltaSig.groupBy("content_hash").agg(min("ord").as("hub"))
-        val star = deltaSig.join(hubs, Seq("content_hash"))
-          .where(col("ord") =!= col("hub"))
-          .select(least(col("ord"), col("hub")).as("a"),
-            greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
-        hashEdges.unionByName(star).groupBy("a", "b").agg(min("dist").as("dist"))
-      }
+      else hashEdges // delta-internal byte-identity star — the SAME
+        // construction the batch pipeline unions in (shared helper, so
+        // chained-equals-batch can't drift between the two call sites)
+        .unionByName(BandJoin.contentStarEdges(deltaSig))
+        .groupBy("a", "b").agg(min("dist").as("dist"))
     })
 
     val oldComps = CorpusState.readComponents(spark, corpusWork, baseVer)

@@ -101,6 +101,10 @@ object Pipeline {
         "(MAX_SIMILARITY_64, hamminghash.rs:5) — over 64-bit hashes a " +
         "higher cap matches most random pairs")
     val ckpt = new Ckpt(spark, workDir)
+    // grouping semantics are a property of the corpus chain: stamp the
+    // content-star flag write-once so a later (batch or incremental) run
+    // with the opposite setting is refused instead of silently diverging
+    CorpusState.stampFlag(spark, workDir, "content_star", contentStar.toString)
 
     val (sig, sigHit) = ckpt.stage("signatures")(signatures(spark, images))
     if (!sigHit) {
@@ -140,15 +144,8 @@ object Pipeline {
         else BandJoin.edges(sig, thr, chunkBits = chunkBits,
           nConfHint = confidentRows)
       if (!contentStar) hashEdges
-      else {
-        // linear star on byte identity (hub = min ord per content_hash)
-        val hubs = sig.groupBy("content_hash").agg(min("ord").as("hub"))
-        val star = sig.join(hubs, Seq("content_hash"))
-          .where(col("ord") =!= col("hub"))
-          .select(least(col("ord"), col("hub")).as("a"),
-            greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
-        hashEdges.unionByName(star).groupBy("a", "b").agg(min("dist").as("dist"))
-      }
+      else hashEdges.unionByName(BandJoin.contentStarEdges(sig))
+        .groupBy("a", "b").agg(min("dist").as("dist"))
     })
     if (!edgesHit) ckpt.appendMetric("comparisons", edges.count().toDouble)
 

@@ -104,10 +104,18 @@ final class Ckpt(spark: SparkSession, workDir: String) {
         val p = new org.apache.hadoop.fs.Path(s"$workDir/_metrics")
         if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
           None
-        else spark.read.parquet(p.toString)
-          .where(col("metric") === name)
-          .orderBy(col("at").desc).select("value")
-          .head(1).headOption.map(_.getDouble(0))
+        else {
+          // latest by PARSED instant, not by string order: Instant
+          // .toString drops trailing zero fractions ("…:56Z" vs
+          // "…:56.500Z"), and '.' < 'Z' makes the lexicographic max the
+          // EARLIER row when two appends land in the same second. The
+          // per-metric row set is tiny — collect and compare properly.
+          spark.read.parquet(p.toString)
+            .where(col("metric") === name)
+            .select("value", "at").collect()
+            .maxByOption(r => java.time.Instant.parse(r.getString(1)))
+            .map(_.getDouble(0))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

@@ -330,6 +330,19 @@ object BandJoin {
       .distinct()
   }
 
+  /** Byte-identity star edges (hub = min ord per content_hash): linear
+    * edge count, same components as pairwise. Shared by the batch
+    * pipeline's contentStar flag and the incremental delta-internal star
+    * — one construction, so the chained-equals-batch invariant can't
+    * drift between copies. */
+  def contentStarEdges(sig: DataFrame): DataFrame = {
+    val hubs = sig.groupBy("content_hash").agg(min("ord").as("hub"))
+    sig.join(hubs, Seq("content_hash"))
+      .where(col("ord") =!= col("hub"))
+      .select(least(col("ord"), col("hub")).as("a"),
+        greatest(col("ord"), col("hub")).as("b"), lit(0).as("dist"))
+  }
+
   /** All verified duplicate edges (a < b, minimal dist per pair).
     * `chunkBits = 0` auto-selects the MIH width from the corpus size;
     * `saltFactor = 0` auto-engages hot-bucket salting past the cap;

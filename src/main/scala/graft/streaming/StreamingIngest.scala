@@ -32,7 +32,8 @@ object StreamingIngest {
             ingestWork: String,
             threshold: Int = -1,
             registryPath: Option[String] = None,
-            algorithm: String = "pdq"): StreamingQuery =
+            algorithm: String = "pdq",
+            contentStar: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$ingestWork/_stream_ckpt")
@@ -41,7 +42,8 @@ object StreamingIngest {
         if (batch.limit(1).count() > 0) {
           Incremental.run(spark, batch.toDF(), corpusWork,
             s"$ingestWork/batch_$id", threshold, registryPath = registryPath,
-            fullOutput = false, algorithm = algorithm)
+            fullOutput = false, algorithm = algorithm,
+            contentStar = contentStar)
           ()
         }
       }

@@ -274,6 +274,23 @@ class IncrementalSpec extends AnyFunSuite {
       "a unique corrupt file must stay ungrouped")
   }
 
+  test("contentStar flag mismatch across the chain is refused (write-once stamp)") {
+    // the flag is a property of the corpus chain: a corpus built WITHOUT
+    // content-star has no corpus-internal content groups, so an
+    // incremental run WITH it would silently diverge from a full batch
+    // run — refused loudly instead (the _meta_algo contract, for flags)
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-flag").toString
+    Pipeline.run(spark, toDF(rows.take(6)), s"$base/corpus-work", Threshold)
+    val e = intercept[IllegalArgumentException] {
+      Incremental.run(spark, toDF(rows.slice(6, 9)), s"$base/corpus-work",
+        s"$base/delta-work", Threshold, contentStar = true)
+    }
+    assert(e.getMessage.contains("content_star"), e.getMessage)
+    // the matching setting still runs
+    Incremental.run(spark, toDF(rows.slice(6, 9)), s"$base/corpus-work",
+      s"$base/delta-ok", Threshold)
+  }
+
   test("auto-compact every K deltas keeps the layer stack shallow") {
     // 9 chained deltas with compactEvery=3: snapshots at v3/v6/v9 + gc
     // must keep on-disk state_v* dirs bounded by K and index segments
