@@ -153,11 +153,23 @@ object CorpusState {
         fs(spark, workDir).mkdirs(new Path(workDir))
         try writeFile(spark, p, value, overwrite = false)
         catch {
-          case _: java.io.IOException => // lost a create race — verify
-            readFile(spark, p).foreach(refuse)
+          case _: java.io.IOException =>
+            // lost a create race — some writer must own a committed value
+            // now. A transient IO failure with NO committed value must not
+            // be swallowed (the run would proceed on an unstamped chain) —
+            // same contract as BandIndex.writeMetaOnce (round-4 ADVICE #2).
+            readFile(spark, p) match {
+              case Some(prev) => refuse(prev)
+              case None => throw new IllegalStateException(
+                s"flag stamp $name create failed at $p without a committed value")
+            }
         }
     }
   }
+
+  /** Current value of a write-once corpus flag, if stamped. */
+  def flag(spark: SparkSession, workDir: String, name: String): Option[String] =
+    readFile(spark, s"$workDir/_meta_$name")
 
   /** Latest version ≤ v carrying a compaction snapshot, if any. */
   private def latestSnapshot(spark: SparkSession, corpusWork: String,
@@ -273,11 +285,16 @@ object CorpusState {
  */
 object Incremental {
 
-  /** Broadcast cap for the contentStar delta-hash semi-filter: 500k
-    * 32-byte SHA-256 values ≈ 16 MB raw / low-hundreds MB as a hashed
-    * relation — sized for the wider key, unlike [[BandIndex
-    * .MaxKeyFilterRows]] which budgets 12-byte band keys. */
-  final val MaxContentHashBroadcast = 500000L
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Broadcast cap for the contentStar delta-hash semi-filter: 100k
+    * 32-byte SHA-256 values ≈ 3.2 MB raw / tens of MB as a hashed
+    * relation — inside Spark's broadcast comfort zone on default-sized
+    * drivers (round-4 ADVICE #4: the previous 500k cap permitted a
+    * low-hundreds-MB build right at the limit). Sized for the wider key,
+    * unlike [[BandIndex.MaxKeyFilterRows]] which budgets 12-byte band
+    * keys; past it the plain shuffled join is the right plan anyway. */
+  final val MaxContentHashBroadcast = 100000L
 
   /** Filesystem-safe idempotency token for this delta (segment + marker). */
   private def deltaToken(deltaWork: String): String = {
@@ -356,7 +373,35 @@ object Incremental {
 
     // the content-star setting must match the corpus chain's (a corpus
     // built without it has no corpus-internal content groups for the
-    // cross-edge star to lean on) — same write-once contract as _meta_algo
+    // cross-edge star to lean on) — same write-once contract as _meta_algo.
+    // A PRE-STAMP chain (built before the flag existed) must not silently
+    // write-once-lock whatever this run happened to request (round-4
+    // ADVICE #1): derive the adopted value from evidence first — the
+    // components table can only contain hash-less rows via content-star
+    // edges (band/exact edges all require has_pdq), so such a member
+    // PROVES the chain ran with contentStar=true. Absence proves nothing
+    // (the corpus may simply hold no undecodable twins): adopt the
+    // requested value, but loudly. A wrongly-adopted marker is repaired by
+    // deleting `_meta_content_star` under the corpus work dir and
+    // re-running with the correct flag.
+    if (CorpusState.flag(spark, corpusWork, "content_star").isEmpty) {
+      val starEvidence = CorpusState.readComponents(spark, corpusWork, baseVer)
+        .join(CorpusState.readSignatures(spark, corpusWork, baseVer)
+            .where(!col("has_pdq")).select(col("ord").as("id")),
+          Seq("id"), "left_semi")
+        .head(1).nonEmpty
+      if (starEvidence) {
+        log.warn(s"corpus at $corpusWork predates the content_star stamp; " +
+          "its components contain hash-less members — only content-star " +
+          "edges produce those, so stamping content_star=true from evidence")
+        CorpusState.stampFlag(spark, corpusWork, "content_star", "true")
+      } else
+        log.warn(s"corpus at $corpusWork predates the content_star stamp " +
+          s"and carries no content-star evidence; ADOPTING " +
+          s"content_star=$contentStar from this run. If the chain was " +
+          "built with the opposite setting, delete " +
+          s"$corpusWork/_meta_content_star and re-run with the correct flag")
+    }
     CorpusState.stampFlag(spark, corpusWork, "content_star", contentStar.toString)
 
     val corpusSig = CorpusState.readSignatures(spark, corpusWork, baseVer)

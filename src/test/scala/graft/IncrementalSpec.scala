@@ -291,6 +291,46 @@ class IncrementalSpec extends AnyFunSuite {
       s"$base/delta-ok", Threshold)
   }
 
+  test("pre-stamp chain with content-star evidence refuses a contentStar=false run") {
+    // a chain built before _meta_content_star existed must not write-once
+    // lock whatever the first post-upgrade run requests (round-4 ADVICE):
+    // hash-less component members prove the chain ran with contentStar=true,
+    // so the stamp derives `true` from evidence and the false run is refused
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-prestamp").toString
+    val corrupt = Array[Byte](0x12, 0x34, 0x56, 0x78, 0x12, 0x34)
+    val corpusDf = toDF(rows.take(6)).unionByName(
+      Seq(("aaa_corrupt_v1.jpg", corrupt, 16, 16, "jpg", "broken", 0L),
+        ("aab_corrupt_v2.jpg", corrupt, 16, 16, "jpg", "broken", 0L))
+        .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+    Pipeline.run(spark, corpusDf, s"$base/corpus-work", Threshold,
+      contentStar = true)
+    // simulate a pre-round-4 chain: the stamp file does not exist yet
+    assert(new java.io.File(s"$base/corpus-work/_meta_content_star").delete())
+    val e = intercept[IllegalArgumentException] {
+      Incremental.run(spark, toDF(rows.slice(6, 9)), s"$base/corpus-work",
+        s"$base/delta-bad", Threshold, contentStar = false)
+    }
+    assert(e.getMessage.contains("content_star"), e.getMessage)
+    assert(CorpusState.flag(spark, s"$base/corpus-work", "content_star")
+      .contains("true"), "evidence-derived stamp must be true")
+    // the evidence-matching setting chains on fine
+    Incremental.run(spark, toDF(rows.slice(6, 9)), s"$base/corpus-work",
+      s"$base/delta-ok", Threshold, contentStar = true)
+  }
+
+  test("pre-stamp chain without evidence adopts the requested value") {
+    // no hash-less members -> nothing proves either setting; the run
+    // adopts its own flag (with a loud log) and proceeds
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-adopt").toString
+    Pipeline.run(spark, toDF(rows.take(6)), s"$base/corpus-work", Threshold)
+    assert(new java.io.File(s"$base/corpus-work/_meta_content_star").delete())
+    Incremental.run(spark, toDF(rows.slice(6, 9)), s"$base/corpus-work",
+      s"$base/delta-work", Threshold)
+    assert(CorpusState.flag(spark, s"$base/corpus-work", "content_star")
+      .contains("false"))
+  }
+
   test("auto-compact every K deltas keeps the layer stack shallow") {
     // 9 chained deltas with compactEvery=3: snapshots at v3/v6/v9 + gc
     // must keep on-disk state_v* dirs bounded by K and index segments
