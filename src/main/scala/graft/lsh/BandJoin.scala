@@ -96,24 +96,68 @@ object BandJoin {
     * noise. */
   final val AutoSaltMinRows = 2000000L
 
-  /** AUTO salt factor (`saltFactor = 0`): top radius-0 bucket occupancy
-    * over the confident rows — ONE cheap agg on corpus × numChunks skinny
-    * key rows, no mask explosion — divided by [[SaltBucketCap]]. Radius-0
-    * occupancy lower-bounds every join-key bucket's occupancy (a radius-r
-    * bucket is a union of radius-0 buckets), and it is exactly the
-    * degenerate mass an adversarial flat corpus concentrates. */
+  /** Row budget for the exact ball-occupancy agg inside [[autoSaltFactor]]:
+    * collapsed radius-0 occupancy rows × rIdx mask multiplicity. 256M
+    * skinny (int, long, long) rows agg in seconds at local[32]; past it
+    * (only reachable at 32-bit chunks over ~10⁸⁺ distinct chunk values)
+    * the conservative upper bound is used instead. */
+  final val BallAggBudget = 256000000L
+
+  /** AUTO salt factor (`saltFactor = 0`): top JOIN-KEY bucket occupancy
+    * over the confident rows, divided by [[SaltBucketCap]].
+    *
+    * The index side builds keys at radius `rIdx`, so the bucket the join
+    * task actually sees at key (i, v) holds every row whose chunk lies in
+    * the Hamming ball B(v, rIdx) — radius-0 occupancy alone lower-bounds
+    * it by up to the ball size |B(rIdx)| (round-4 ADVICE: the undershoot
+    * hits precisely the near-flat adversarial corpora salting targets,
+    * where the degenerate mass spreads across a few neighboring chunk
+    * values). So: one cheap agg collapses the corpus to the radius-0
+    * occupancy table (≤ numChunks·2^chunkBits rows), then, only when the
+    * measured max COULD breach the cap after ball expansion, a second agg
+    * over that collapsed table × the rIdx masks computes the exact ball
+    * occupancy Σ_m occ0(i, v⊕m). The corpus itself is never mask-exploded
+    * for the measurement. Falls back to the conservative upper bound
+    * max₀·|B(rIdx)| (over-salting is recall-neutral) if the occupancy
+    * table itself is too wide for the budget. */
   private[graft] def autoSaltFactor(conf: DataFrame, hs: Seq[String],
                                     chunkBits: Int,
                                     chunks: Seq[Column] => Column,
+                                    rIdx: Int = 0,
                                     cap: Long = SaltBucketCap): Int = {
-    val occ = conf
+    val occ0 = conf
       .select(posexplode(chunks(hs.map(col))).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head()
-    val bmax = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    val mc = maskCount(rIdx, chunkBits)
+    def headMax(df: DataFrame): Long = {
+      val r = df.head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val bmax =
+      if (mc <= 1L) headMax(occ0.agg(max("n")))
+      else {
+        occ0.persist()
+        try {
+          val h = occ0.agg(max("n"), count(lit(1))).head()
+          val max0 = if (h.isNullAt(0)) 0L else h.getLong(0)
+          val occRows = h.getLong(1)
+          if (max0 == 0L || max0 > cap / mc && occRows * mc > BallAggBudget) {
+            if (max0 * mc > cap)
+              log.warn(s"radius-0 occupancy table too wide for the exact " +
+                s"ball agg ($occRows rows × $mc masks > $BallAggBudget) — " +
+                s"using the conservative bound ${max0 * mc}")
+            if (max0 > Long.MaxValue / mc) Long.MaxValue else max0 * mc
+          } else if (max0 * mc <= cap) max0 * mc // cannot breach even if the whole ball were max-size
+          else headMax(
+            occ0.withColumn("m", explode(lit(masksB(rIdx, chunkBits))))
+              .groupBy(col("band_idx"),
+                col("band_val").bitwiseXOR(col("m")).as("ball_val"))
+              .agg(sum("n").as("bn")).agg(max("bn")))
+        } finally occ0.unpersist()
+      }
     val s = math.min(MaxSaltFactor.toLong, (bmax + cap - 1) / cap).toInt
     if (s > 1)
-      log.info(s"hot band bucket has $bmax rows (cap $cap) — " +
+      log.info(s"hot radius-$rIdx band bucket has $bmax rows (cap $cap) — " +
         s"auto-engaging salt factor $s")
     math.max(s, 1)
   }
@@ -270,7 +314,7 @@ object BandJoin {
       if (saltFactor != 0) saltFactor
       else if (nConf <= AutoSaltMinRows) 1
       else autoSaltFactor(conf, Seq("h0", "h1", "h2", "h3"), chunkBits,
-        chunksArrayB(_, chunkBits))
+        chunksArrayB(_, chunkBits), rIdx)
 
     val idx0 = bandKeys(
       conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),

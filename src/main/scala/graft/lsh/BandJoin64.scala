@@ -106,7 +106,7 @@ object BandJoin64 {
       if (saltFactor != 0) saltFactor
       else if (nConf <= BandJoin.AutoSaltMinRows) 1
       else BandJoin.autoSaltFactor(conf, Seq("phash64"), chunkBits,
-        hs => chunksArray64(hs.head, chunkBits))
+        hs => chunksArray64(hs.head, chunkBits), rIdx)
 
     val idx0 = bandKeys(
       conf.select(col("ord"), col("phash64")), "phash64", rIdx, chunkBits)

@@ -310,6 +310,31 @@ class LshSpec extends AnyFunSuite {
       == graft.lsh.BandJoin.MaxSaltFactor)
   }
 
+  test("auto salting: ball occupancy at rIdx catches spread-out hot mass") {
+    // round-4 ADVICE: the index side builds keys at radius rIdx, so a
+    // join bucket's occupancy is the BALL sum Σ_m occ0(v⊕m) — a corpus
+    // whose degenerate mass spreads across the radius-1 neighbors of one
+    // chunk value has every radius-0 bucket under the cap yet one
+    // radius-1 join bucket holding all of it
+    import spark.implicits._
+    val r = new java.util.Random(31)
+    val center = 0x4b1dL
+    val neighbors = graft.lsh.BandJoin.masksB(1, 16).map(center ^ _) // 17 values
+    val spread = neighbors.toSeq.flatMap { v =>
+      (0 until 100).map(_ =>
+        ((r.nextLong() << 16) | v, r.nextLong(), r.nextLong(), r.nextLong()))
+    }.zipWithIndex.map { case ((h0, h1, h2, h3), i) => (i.toLong, h0, h1, h2, h3) }
+      .toDF("ord", "h0", "h1", "h2", "h3")
+    // radius-0 max is ~100 (< cap 1000) but the radius-1 ball at `center`
+    // holds all 1700 rows -> factor 2
+    assert(graft.lsh.BandJoin.autoSaltFactor(spread, Seq("h0", "h1", "h2", "h3"),
+      16, graft.lsh.BandJoin.chunksArrayB(_, 16), rIdx = 0, cap = 1000) == 1,
+      "radius-0 measurement must NOT see the spread mass (the old undershoot)")
+    val f = graft.lsh.BandJoin.autoSaltFactor(spread, Seq("h0", "h1", "h2", "h3"),
+      16, graft.lsh.BandJoin.chunksArrayB(_, 16), rIdx = 1, cap = 1000)
+    assert(f == 2, s"ball-occupancy salt factor $f, want 2")
+  }
+
   test("u64 low-confidence rows only match exactly") {
     val r = new java.util.Random(12)
     val base = r.nextLong()
