@@ -120,11 +120,34 @@ object BandJoin {
     * for the measurement. Falls back to the conservative upper bound
     * max₀·|B(rIdx)| (over-salting is recall-neutral) if the occupancy
     * table itself is too wide for the budget. */
+  /** Ceiling on the TARGETED-salt hot-key set: past it (≤ n·numChunks/cap
+    * keys can exceed the cap, so ~10⁸ rows at 16-bit) the InSet literal
+    * stops being cheap to ship per task and global salting takes over. */
+  final val MaxHotKeys = 100000
+
+  /** Combined (band_idx, band_val) key for hot-key membership tests —
+    * collision-free while band_val < 2³², i.e. chunkBits ≤ 32. */
+  private def combinedKey(idx: Column, value: Column): Column =
+    idx.cast("long") * lit(1L << 32) + value
+
   private[graft] def autoSaltFactor(conf: DataFrame, hs: Seq[String],
                                     chunkBits: Int,
                                     chunks: Seq[Column] => Column,
                                     rIdx: Int = 0,
-                                    cap: Long = SaltBucketCap): Int = {
+                                    cap: Long = SaltBucketCap): Int =
+    autoSalt(conf, hs, chunkBits, chunks, rIdx, cap)._1
+
+  /** AUTO salt decision: (factor, hot-key set). The key set — join keys
+    * whose ball occupancy exceeds the cap — enables TARGETED salting:
+    * only rows landing on a hot key are split/replicated, so the probe
+    * side pays ×S on the degenerate mass alone instead of on the whole
+    * corpus. None ⇒ salt globally (set too large to ship, conservative
+    * fallback path, or 64-bit chunks where keys can't be combined). */
+  private[graft] def autoSalt(conf: DataFrame, hs: Seq[String],
+                              chunkBits: Int,
+                              chunks: Seq[Column] => Column,
+                              rIdx: Int = 0,
+                              cap: Long = SaltBucketCap): (Int, Option[Array[Long]]) = {
     val occ0 = conf
       .select(posexplode(chunks(hs.map(col))).as(Seq("band_idx", "band_val")))
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
@@ -133,9 +156,27 @@ object BandJoin {
       val r = df.head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val bmax =
-      if (mc <= 1L) headMax(occ0.agg(max("n")))
+    // hot join keys from an occupancy table keyed (band_idx, key, occ)
+    def hotKeys(occ: DataFrame, keyCol: String, occCol: String): Option[Array[Long]] =
+      if (chunkBits > 32) None
       else {
+        val ks = occ.where(col(occCol) > cap)
+          .select(combinedKey(col("band_idx"), col(keyCol)))
+          .limit(MaxHotKeys + 1).collect().map(_.getLong(0))
+        if (ks.length > MaxHotKeys) {
+          log.warn(s"${ks.length}+ hot band buckets exceed the $cap cap — " +
+            "past the targeted-salt key budget, salting globally")
+          None
+        } else Some(ks)
+      }
+    val (bmax, keys) =
+      if (mc <= 1L) {
+        occ0.persist()
+        try {
+          val m = headMax(occ0.agg(max("n")))
+          (m, if (m > cap) hotKeys(occ0, "band_val", "n") else None)
+        } finally occ0.unpersist()
+      } else {
         occ0.persist()
         try {
           val h = occ0.agg(max("n"), count(lit(1))).head()
@@ -146,20 +187,50 @@ object BandJoin {
               log.warn(s"radius-0 occupancy table too wide for the exact " +
                 s"ball agg ($occRows rows × $mc masks > $BallAggBudget) — " +
                 s"using the conservative bound ${max0 * mc}")
-            if (max0 > Long.MaxValue / mc) Long.MaxValue else max0 * mc
-          } else if (max0 * mc <= cap) max0 * mc // cannot breach even if the whole ball were max-size
-          else headMax(
-            occ0.withColumn("m", explode(lit(masksB(rIdx, chunkBits))))
+            (if (max0 > Long.MaxValue / mc) Long.MaxValue else max0 * mc, None)
+          } else if (max0 * mc <= cap)
+            (max0 * mc, None) // cannot breach even if the whole ball were max-size
+          else {
+            val ball = occ0
+              .withColumn("m", explode(lit(masksB(rIdx, chunkBits))))
               .groupBy(col("band_idx"),
                 col("band_val").bitwiseXOR(col("m")).as("ball_val"))
-              .agg(sum("n").as("bn")).agg(max("bn")))
+              .agg(sum("n").as("bn")).persist()
+            try {
+              val m = headMax(ball.agg(max("bn")))
+              (m, if (m > cap) hotKeys(ball, "ball_val", "bn") else None)
+            } finally ball.unpersist()
+          }
         } finally occ0.unpersist()
       }
     val s = math.min(MaxSaltFactor.toLong, (bmax + cap - 1) / cap).toInt
     if (s > 1)
       log.info(s"hot radius-$rIdx band bucket has $bmax rows (cap $cap) — " +
-        s"auto-engaging salt factor $s")
-    math.max(s, 1)
+        s"auto-engaging salt factor $s over " +
+        keys.fold("ALL keys (global)")(k => s"${k.length} hot keys (targeted)"))
+    (math.max(s, 1), keys.filter(_ => s > 1))
+  }
+
+  /** Index-side salt column: pmod(ord, S) on hot keys (or everywhere
+    * when `hotKeys` is None), 0 elsewhere. */
+  private[lsh] def saltIndexCol(saltF: Int, hotKeys: Option[Array[Long]],
+                                ord: Column): Column = hotKeys match {
+    case Some(ks) =>
+      when(combinedKey(col("band_idx"), col("band_val")).isin(ks.map(Long.box): _*),
+        pmod(ord, lit(saltF))).otherwise(lit(0)).cast("int")
+    case None => pmod(ord, lit(saltF)).cast("int")
+  }
+
+  /** Probe-side salt values to explode: all S on hot keys (or everywhere
+    * when `hotKeys` is None), the single 0 elsewhere. */
+  private[lsh] def saltProbeCol(saltF: Int, hotKeys: Option[Array[Long]]): Column = {
+    val all = lit((0 until saltF).toArray)
+    hotKeys match {
+      case Some(ks) =>
+        when(combinedKey(col("band_idx"), col("band_val")).isin(ks.map(Long.box): _*),
+          all).otherwise(lit(Array(0)))
+      case None => all
+    }
   }
 
   /** Σ_{i≤r} C(bits, i) — the mask count masksB would materialize, computed
@@ -310,10 +381,10 @@ object BandJoin {
       maskCount(r, chunkBits) + 8L * maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
-    val saltF =
-      if (saltFactor != 0) saltFactor
-      else if (nConf <= AutoSaltMinRows) 1
-      else autoSaltFactor(conf, Seq("h0", "h1", "h2", "h3"), chunkBits,
+    val (saltF, hotKeySet) =
+      if (saltFactor != 0) (saltFactor, None)
+      else if (nConf <= AutoSaltMinRows) (1, None)
+      else autoSalt(conf, Seq("h0", "h1", "h2", "h3"), chunkBits,
         chunksArrayB(_, chunkBits), rIdx)
 
     val idx0 = bandKeys(
@@ -322,7 +393,7 @@ object BandJoin {
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
     val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
-      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltF)).cast("int"))
+      else idx0.withColumn("salt", saltIndexCol(saltF, hotKeySet, col("c_ord")))
 
     val prbBase = conf
       .select(col("ord"), explode(col("variants")).as("v"))
@@ -333,7 +404,7 @@ object BandJoin {
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("v0"), col("v1"), col("v2"), col("v3"))
     val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
-      else prb0.withColumn("salt", explode(lit((0 until saltF).toArray)))
+      else prb0.withColumn("salt", explode(saltProbeCol(saltF, hotKeySet)))
 
     // Symmetric probing (vs the reference's scan-order-dependent i<j,
     // scanner.rs:1714-1717): a pair is an edge when EITHER side's dihedral

@@ -102,10 +102,10 @@ object BandJoin64 {
         8L * BandJoin.maskCount(tol - r, chunkBits))
     val rPrb = tol - rIdx
 
-    val saltF =
-      if (saltFactor != 0) saltFactor
-      else if (nConf <= BandJoin.AutoSaltMinRows) 1
-      else BandJoin.autoSaltFactor(conf, Seq("phash64"), chunkBits,
+    val (saltF, hotKeySet) =
+      if (saltFactor != 0) (saltFactor, None)
+      else if (nConf <= BandJoin.AutoSaltMinRows) (1, None)
+      else BandJoin.autoSalt(conf, Seq("phash64"), chunkBits,
         hs => chunksArray64(hs.head, chunkBits), rIdx)
 
     val idx0 = bandKeys(
@@ -113,17 +113,20 @@ object BandJoin64 {
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("phash64").as("c_h"))
     // explicit hot-bucket salting (recall-neutral, same scheme as the
-    // 256-bit path): index buckets split S ways, probes replicated ×S;
-    // saltFactor = 0 measures the top bucket and derives the factor
+    // 256-bit path): index buckets split S ways, probes replicated ×S —
+    // on the measured hot keys only when the set is shippable, globally
+    // otherwise; saltFactor = 0 measures the top bucket ball at rIdx
     val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
-      else idx0.withColumn("salt", pmod(col("c_ord"), lit(saltF)).cast("int"))
+      else idx0.withColumn("salt",
+        BandJoin.saltIndexCol(saltF, hotKeySet, col("c_ord")))
 
     val prbBase = conf
       .select(col("ord"), explode(col("phash_variants")).as("v_h"))
     val prb0 = bandKeys(prbBase, "v_h", rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
     val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
-      else prb0.withColumn("salt", explode(lit((0 until saltF).toArray)))
+      else prb0.withColumn("salt",
+        explode(BandJoin.saltProbeCol(saltF, hotKeySet)))
 
     // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
     // estimate predates the 8-variant × 8-chunk × mask explosion
