@@ -58,16 +58,32 @@ object GreedyGrouping {
    * edges: (a: long, b: long) undirected, self-loops ignored.
    * Returns (id: long, grp: long) for every node incident to an edge;
    * grp is the seed's id.
+   *
+   * `nEdgesHint` ≥ 0 is the caller's already-known distinct-edge count
+   * (the A8 comparison metric, same contract as BandJoin's nConfHint —
+   * round-4 VERDICT #8): the driver-vs-distributed choice then costs no
+   * count() job, and the driver path skips the symmetrize/distinct
+   * shuffle too ([[sequential]] symmetrizes and dedups itself). An UPPER
+   * BOUND is acceptable — the hint only selects the execution path, both
+   * paths compute the same result.
    */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 200,
-          driverPathMaxEdges: Long = ConnectedComponents.DriverPathMaxEdges): DataFrame = {
+          driverPathMaxEdges: Long = ConnectedComponents.DriverPathMaxEdges,
+          nEdgesHint: Long = -1): DataFrame = {
+    if (nEdgesHint >= 0 && nEdgesHint <= driverPathMaxEdges) {
+      import spark.implicits._
+      val pairs = edges.select(col("a"), col("b")).as[(Long, Long)].collect()
+      return spark.createDataset(sequential(pairs).toSeq).toDF("id", "grp")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+    }
     val sym0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst"))
     val sym = sym0.unionByName(
         sym0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    if (sym.count() / 2 <= driverPathMaxEdges) return driverGreedy(spark, sym)
+    if (nEdgesHint < 0 && sym.count() / 2 <= driverPathMaxEdges)
+      return driverGreedy(spark, sym)
 
     // phase 1: priority-MIS rounds
     var undecided = sym.select(col("src").as("id")).distinct().localCheckpoint()

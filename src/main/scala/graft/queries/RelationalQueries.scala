@@ -258,7 +258,15 @@ object RelationalQueries {
     val pathEdges = ids
       .where(col("id") % 16 < 15 && floor(col("id") / 16) % 2 === 1)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
-    GreedyGrouping.run(spark, cliqueEdges.unionByName(pathEdges))
+    // Arithmetic edge-count bound from the construction (no count() job —
+    // VERDICT r4 #8): 63 even clusters × C(16,2) + 62 odd clusters × 15
+    // path edges; an upper bound when the events table is sparse, which
+    // the hint contract allows.
+    val clusters = MaxGreedyId / 16
+    val edgeBound = ((clusters + 1) / 2).toLong * (16 * 15 / 2) +
+      (clusters / 2).toLong * 15
+    GreedyGrouping.run(spark, cliqueEdges.unionByName(pathEdges),
+        nEdgesHint = edgeBound)
       .select(col("id").cast("long").as("id"), col("grp").cast("long").as("grp"))
       .orderBy("id")
   }

@@ -39,6 +39,14 @@ class GreedyGroupingSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"cap=$cap: got $got want $want")
     }
+    // the hinted paths (no count() job): hint under the cap takes the raw
+    // driver collect; hint over it forces the distributed rounds
+    for (cap <- Seq(0L, Long.MaxValue)) {
+      val got = GreedyGrouping.run(spark, df, driverPathMaxEdges = cap,
+          nEdgesHint = edges.size.toLong)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"hinted cap=$cap: got $got want $want")
+    }
   }
 
   test("greedy differs from CC on a path: pairs, not one component") {
