@@ -62,6 +62,7 @@ object SparkEntry {
     "q_ann_ivf" -> (TQ.qAnnIvf _),
     "q_embed_near_dup" -> (TQ.qEmbedNearDup _),
     "q_substring_dup" -> (TQ.qSubstringDup _),
+    "q_span_cuts" -> (TQ.qSpanCuts _),
     "q_suffix_ranks" -> (TQ.qSuffixRanks _),
     "q_suffix_dup_classes" -> (TQ.qSuffixDupClasses _),
     "q_suffix_lcp_pairs" -> (TQ.qSuffixLcpPairs _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q_ann_ivf" -> TQ.sqlAnnIvf(d),
     "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d),
     "q_substring_dup" -> TQ.sqlSubstringDup(d),
+    "q_span_cuts" -> TQ.sqlSpanCuts(d),
     "q_suffix_ranks" -> TQ.sqlSuffixRanks(d),
     "q_suffix_dup_classes" -> TQ.sqlSuffixDupClasses(d),
     "q_suffix_lcp_pairs" -> TQ.sqlSuffixLcpPairs(d),

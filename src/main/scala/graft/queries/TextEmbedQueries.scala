@@ -585,6 +585,82 @@ object TextEmbedQueries {
        FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start"""
 
   // =========================================================================
+  // Span-removal manifest (round-4 VERDICT #2) — the text analog of
+  // Groups.keepList: Lee et al. 2022 §3's ExactSubstr output is the byte
+  // ranges to DROP from each document, not just the dup pairs. For every
+  // duplicated fingerprint window (occurring >1 time corpus-wide, within-
+  // doc repeats included), the first occurrence by (doc_id, pos) is the
+  // canonical copy — keep-first, deterministic — and every other
+  // occurrence becomes a cut window; consecutive cut windows per doc
+  // merge into maximal [cut_start, cut_end] character ranges. keep_doc is
+  // the smallest canonical doc over the range's windows (where the text
+  // survives).
+  //
+  // Scale: keeper selection is groupBy(h).agg(min(struct(doc_id, pos))) —
+  // map-side combinable tree agg, deliberately NOT a per-hash window (a
+  // boilerplate string shared by 10⁶ docs would otherwise pile into one
+  // window partition). The island merge windows by doc_id, bounded by
+  // document length.
+  // =========================================================================
+  def spanCuts(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .where(length(col("text")) >= SpanLen)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride)))
+          .as("pos"), col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(expr(s"substring(text, pos, $SpanLen)")).as("h"))
+    val keepers = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"), count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("h"), col("k.doc_id").as("keep_doc"), col("k.pos").as("keep_pos"))
+    val cutw = wins.join(keepers, "h")
+      .where(col("doc_id") =!= col("keep_doc") || col("pos") =!= col("keep_pos"))
+      .select("doc_id", "pos", "keep_doc")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    cutw
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wDoc) <= SpanStride, 0L).otherwise(1L))
+      .withColumn("island", sum("brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("cut_start"),
+        (max("pos") + (SpanLen - 1)).as("cut_end"),
+        count(lit(1)).cast("long").as("n_windows"),
+        min("keep_doc").as("keep_doc"))
+      .select(col("doc_id"), col("cut_start"), col("cut_end"),
+        col("n_windows"), col("keep_doc"))
+      .orderBy("doc_id", "cut_start")
+  }
+  def qSpanCuts(spark: SparkSession, dir: String): DataFrame =
+    spanCuts(rd(spark, dir, "documents"))
+  def sqlSpanCuts(dir: String): String =
+    // keeper encoded as min(doc_id*10⁶ + pos) — pos < 4001 ≪ 10⁶, so the
+    // encoding orders exactly like (doc_id, pos)
+    s"""WITH wins AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+         md5(substr(text, i::INT, $SpanLen)) AS h
+         FROM documents, range(1, 4001, $SpanStride) r(i)
+         WHERE len(text) >= $SpanLen AND i <= len(text) - ${SpanLen - 1}),
+       keepers AS (SELECT h, min(doc_id * 1000000 + pos) AS kcode
+         FROM wins GROUP BY h HAVING count(*) > 1),
+       cutw AS (SELECT w.doc_id, w.pos, k.kcode // 1000000 AS keep_doc
+         FROM wins w JOIN keepers k ON k.h = w.h
+         WHERE w.doc_id * 1000000 + w.pos <> k.kcode),
+       marked AS (SELECT doc_id, pos, keep_doc,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanStride
+                THEN 0 ELSE 1 END AS brk
+         FROM cutw),
+       islands AS (SELECT doc_id, pos, keep_doc,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM marked)
+       SELECT doc_id, min(pos)::BIGINT AS cut_start,
+         (max(pos) + ${SpanLen - 1})::BIGINT AS cut_end,
+         count(*)::BIGINT AS n_windows,
+         min(keep_doc)::BIGINT AS keep_doc
+       FROM islands GROUP BY doc_id, island ORDER BY doc_id, cut_start"""
+
+  // =========================================================================
   // Embedding near-dup pairs: exact integer cosine² threshold within buckets
   // =========================================================================
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -79,6 +79,32 @@ class ExtrasSpec extends AnyFunSuite {
     assert(sortedNames("bogus") == sortedNames("name-natural")) // fallback
   }
 
+  test("span cuts: keep-first manifest over cross-doc and within-doc repeats") {
+    import spark.implicits._
+    // SpanLen=32, SpanStride=16 → windows at pos 1,17,33,… (1-based).
+    // S,T,A,B,C: 64-char non-periodic strings, pairwise distinct.
+    def s64(mult: Int, off: Int): String =
+      (0 until 64).map(i => ('a' + (i * mult + off) % 26).toChar).mkString
+    val S = s64(7, 0); val A = s64(11, 3); val B = s64(17, 5)
+    // mults must be pairwise distinct (same-step windows can collide);
+    // avoid reversals — reversing step m yields step 26-m (19 reversed
+    // would collide with S's 7)
+    val T = s64(23, 1)
+    val docs = Seq(
+      (1L, S + A), // canonical copy of S (min doc)
+      (2L, S + B), // S duplicated at same alignment → cut
+      (3L, s64(3, 9) + s64(9, 2)), // all unique, no cuts
+      (4L, T + T)  // within-doc repeat: second T cut, first kept
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextEmbedQueries.spanCuts(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc2: windows pos 1,17,33 inside S match doc1's → one island
+    //   [1, 33+31] with keep_doc=1; doc4: windows 65,81,97 inside the
+    //   second T match pos 1,17,33 of the first → island [65,128], keep 4.
+    assert(got == Set((2L, 1L, 64L, 3L, 1L), (4L, 65L, 128L, 3L, 4L)))
+  }
+
   test("search query parser: ops, ranges, implicit contains") {
     val cs = SearchQuery.parse("size:10-30 name:contains:red iso:1600- f:>2.8 make:Canon")
     assert(cs.map(c => (c.tag, c.op)) == Seq(
