@@ -174,6 +174,34 @@ object BandIndex {
       .withColumn("band_val", bandValTyped(col("band_val"), chunkBits))
   }
 
+  // ---- per-segment max-ord sidecars (round-4 VERDICT #3) ---------------
+  // The index/signature consistency audit needs the index's max ord every
+  // incremental run; computing it used to scan every segment's ord column
+  // — a shuffle-free columnar read, but still O(corpus) per delta at 10⁹
+  // images. Each committed segment now carries a `_segmax_<segName>`
+  // sidecar holding its max ord (written right after the rename commits,
+  // derived from the pre-explode input in the same lineage), so the audit
+  // costs one directory listing plus tiny file reads — zero Spark jobs.
+  // Legacy segments self-heal: a missing sidecar triggers ONE single-
+  // segment single-column scan that backfills it. A crash between rename
+  // and sidecar write likewise just means one self-heal scan later — the
+  // sidecar is derived metadata, never load-bearing for correctness.
+
+  private def segMaxPath(path: String, segName: String) = s"$path/_segmax_$segName"
+
+  private def segMaxOrd(spark: SparkSession, path: String, segPath: String): Long = {
+    val segName = new Path(segPath).getName
+    readMeta(spark, segMaxPath(path, segName)) match {
+      case Some(v) => v.toLong
+      case None => // legacy / crash-window segment — scan once, backfill
+        val r = spark.read.parquet(segPath).agg(max("ord")).head()
+        val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
+        writeMetaOnce(spark, segMaxPath(path, segName), mo.toString,
+          s"max ord of $segName")
+        mo
+    }
+  }
+
   /** Write one segment atomically: stage under a dot-prefixed dir, then
     * rename into place. Idempotent: an existing committed segment is left
     * untouched (a resumed run never double-appends). */
@@ -184,6 +212,12 @@ object BandIndex {
     val f = fs(spark, path)
     val finalP = new Path(path, segName)
     if (f.exists(finalP)) return // already committed
+    // segment rows = bandRows(sig) = has_pdq rows × chunks, so the
+    // segment's max ord is computable from the narrow pre-explode input
+    val mo = {
+      val r = sig.filter(col("has_pdq")).agg(max("ord")).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
     val staging = new Path(path, s".tmp_$segName")
     bandRows(sig, chunkBitsOf(spark, path), algoOf(spark, path))
       .repartitionByRange(numPartitions, col("band_idx"), col("band_val"))
@@ -192,6 +226,8 @@ object BandIndex {
     if (!f.rename(staging, finalP))
       throw new java.io.IOException(
         s"band index commit failed: rename $staging -> $finalP")
+    writeMetaOnce(spark, segMaxPath(path, segName), mo.toString,
+      s"max ord of $segName")
   }
 
   /** Build the index from a full corpus (base segment). `chunkBits` is
@@ -232,10 +268,24 @@ object BandIndex {
   def compact(spark: SparkSession, path: String, numPartitions: Int = 32): Unit = {
     val all = segments(spark, path)
     if (all.size <= 1) return
-    val gen = all.size
-    val segName = f"seg_zc$gen%06d" // sorts after deltas; new name per shape
+    // Name the merged segment from its INPUT SET, not the segment count: a
+    // crashed compact resumed with the same inputs reuses the name (no
+    // double work), while a later compact over different inputs can never
+    // collide. (Count-based naming had a data-loss window: zc + k new
+    // deltas can equal the previous compaction's count, reusing its name —
+    // the merge is then skipped but the deltas still deleted.)
+    val segName = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val names = all.map(s => new Path(s).getName).mkString("\n")
+      val hex = md.digest(names.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      s"seg_zc$hex" // zc prefix keeps it sorting after seg_base/seg_delta_*
+    }
     val f = fs(spark, path)
     val finalP = new Path(path, segName)
+    // derive the merged sidecar from the subsumed segments' sidecars
+    // (metadata-only) BEFORE any segment is deleted
+    val mo = all.map(s => segMaxOrd(spark, path, s)).max
     if (!f.exists(finalP)) {
       val staging = new Path(path, s".tmp_$segName")
       spark.read.parquet(all: _*)
@@ -246,16 +296,22 @@ object BandIndex {
       if (!f.rename(staging, finalP))
         throw new java.io.IOException(s"compact commit failed: $staging -> $finalP")
     }
-    all.filterNot(_.endsWith(s"/$segName"))
-      .foreach(s => f.delete(new Path(s), true))
+    writeMetaOnce(spark, segMaxPath(path, segName), mo.toString,
+      s"max ord of $segName")
+    all.filterNot(_.endsWith(s"/$segName")).foreach { s =>
+      f.delete(new Path(s), true)
+      f.delete(new Path(segMaxPath(path, new Path(s).getName)), false)
+    }
   }
 
   /** Highest ord present in the index, or -1 when empty — the indexed-ord
     * ceiling used to audit index/signature consistency (a lagging index
-    * means committed signatures whose keys were never appended). */
+    * means committed signatures whose keys were never appended). Reads
+    * per-segment sidecars only: zero Spark jobs once they exist. */
   def maxOrd(spark: SparkSession, path: String): Long = {
-    val r = read(spark, path).agg(max("ord")).head()
-    if (r.isNullAt(0)) -1L else r.getLong(0)
+    val segs = segments(spark, path)
+    require(segs.nonEmpty, s"band index at $path has no committed segments")
+    segs.map(s => segMaxOrd(spark, path, s)).max
   }
 
   /**

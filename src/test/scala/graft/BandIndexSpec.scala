@@ -90,6 +90,53 @@ class BandIndexSpec extends AnyFunSuite {
       corpus.map(_.ord).max)
   }
 
+  test("recompaction after new deltas keeps every row (name-collision regression)") {
+    import spark.implicits._
+    // compact(base+2 deltas) → +2 deltas → compact again must MERGE, not
+    // reuse the first compaction's name and delete the unmerged deltas
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex6").toString
+    val parts = corpus.grouped(math.max(corpus.size / 5, 1)).toSeq
+    BandIndex.build(parts(0).toDS().toDF(), s"$dir/index")
+    BandIndex.append(parts(1).toDS().toDF(), s"$dir/index", "seg_delta_a")
+    BandIndex.append(parts(2).toDS().toDF(), s"$dir/index", "seg_delta_b")
+    BandIndex.compact(spark, s"$dir/index") // 3 segments → 1
+    BandIndex.append(parts(3).toDS().toDF(), s"$dir/index", "seg_delta_c")
+    BandIndex.append(parts(4).toDS().toDF(), s"$dir/index", "seg_delta_d")
+    val wantRows = BandIndex.read(spark, s"$dir/index").count()
+    // grouped() may emit a 6th remainder part that never gets appended —
+    // the expectation covers exactly the five appended parts
+    val wantMax = parts.take(5).flatten.filter(_.has_pdq).map(_.ord).max
+    BandIndex.compact(spark, s"$dir/index") // again 3 segments → 1
+    assert(BandIndex.read(spark, s"$dir/index").count() == wantRows,
+      "second compaction dropped rows")
+    assert(BandIndex.maxOrd(spark, s"$dir/index") == wantMax)
+  }
+
+  test("maxOrd is metadata-only: zero Spark jobs once sidecars exist") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex7").toString
+    BandIndex.build(corpus.toDS().toDF(), s"$dir/index")
+    BandIndex.append(delta.toDS().toDF(), s"$dir/index", "seg_delta_m")
+    val wantMax = sigs.filter(_.has_pdq).map(_.ord).max
+    // legacy path: delete the sidecars — maxOrd must self-heal (scans once)
+    new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("_segmax_")).foreach(f => assert(f.delete()))
+    assert(BandIndex.maxOrd(spark, s"$dir/index") == wantMax)
+    // sidecars are back; the audit is now zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(BandIndex.maxOrd(spark, s"$dir/index") == wantMax)
+      Thread.sleep(1000) // listener bus is async — let any job event land
+      assert(jobs.get() == 0, s"maxOrd launched ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("32-bit index: same probe edges as 16-bit at threshold ≤ 31 (scale build)") {
     import spark.implicits._
     // radius-0 index ⇒ the whole probe ball is delta-side; at 32-bit
