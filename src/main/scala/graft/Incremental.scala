@@ -418,15 +418,9 @@ object Incremental {
       // cap at this threshold (radius-0 index ⇒ whole ball probe-side;
       // 32-bit/256 needs threshold ≤ 31). Same auto rule as the batch joins.
       val nConf = corpusSig.filter(col("has_pdq") && !col("low_conf")).count()
-      val bits =
-        if (algorithm == "phash") {
-          val w = graft.lsh.BandJoin64.autoChunkBits(nConf)
-          if (BandJoin.maskCount(thr / (64 / w), w) <= BandJoin.MaxMasksPerSide) w
-          else graft.lsh.BandJoin64.BitsPerChunk
-        } else if (nConf > BandJoin.AutoWideCutoff &&
-          BandJoin.maskCount(thr / 8, 32) <= BandJoin.MaxMasksPerSide) 32
-        else BandJoin.BitsPerChunk
-      BandIndex.build(corpusSig, indexPath, chunkBits = bits, algo = indexAlgo)
+      BandIndex.build(corpusSig, indexPath,
+        chunkBits = BandIndex.autoBuildBits(indexAlgo, nConf, thr),
+        algo = indexAlgo)
     }
     require(BandIndex.algoOf(spark, indexPath) == indexAlgo,
       s"corpus index at $indexPath was built for " +

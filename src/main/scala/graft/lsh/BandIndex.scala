@@ -314,6 +314,74 @@ object BandIndex {
     segs.map(s => segMaxOrd(spark, path, s)).max
   }
 
+  // ---- chunk-width lifecycle (round-4 VERDICT #4) ----------------------
+
+  /** Auto chunk width for an index BUILD (shared by Incremental's first
+    * build and [[maybeWiden]]): wide only when the corpus is past the
+    * parity width's degeneracy cutoff AND the probe ball still fits the
+    * mask cap at the operating threshold — the index stores radius-0
+    * keys, so the whole ball is probe-side. Cutoffs are parameters so
+    * tests can cross them with small corpora. */
+  def autoBuildBits(algo: String, nConf: Long, threshold: Int,
+                    wideCutoff: Long = BandJoin.AutoWideCutoff,
+                    wideCutoff64: Long = BandJoin64.AutoWideCutoff): Int =
+    if (algo == AlgoPhash64) {
+      val w = if (nConf <= wideCutoff64) BandJoin64.BitsPerChunk else 16
+      if (BandJoin.maskCount(threshold / (64 / w), w) <= BandJoin.MaxMasksPerSide) w
+      else BandJoin64.BitsPerChunk
+    } else if (nConf > wideCutoff &&
+      BandJoin.maskCount(threshold / 8, 32) <= BandJoin.MaxMasksPerSide) 32
+    else BandJoin.BitsPerChunk
+
+  /** Rebuild this index at `newBits` from the corpus signatures — an
+    * explicit O(corpus) maintenance operation. Protocol: build a complete
+    * staged index beside the live one, then swap with two renames. A crash
+    * between the renames leaves NO live index; the next incremental run
+    * sees the absence and rebuilds from corpus signatures (self-healing),
+    * so no window ever serves wrong results — only, at worst, a repeated
+    * rebuild. */
+  def rebuildWidth(spark: SparkSession, path: String, sig: DataFrame,
+                   newBits: Int, numPartitions: Int = 32): Unit = {
+    val algo = algoOf(spark, path)
+    val f = fs(spark, path)
+    val staging = new Path(s"$path.rebuild")
+    f.delete(staging, true)
+    build(sig, staging.toString, numPartitions, newBits, algo)
+    val trash = new Path(s"$path.old")
+    f.delete(trash, true)
+    if (!f.rename(new Path(path), trash))
+      throw new java.io.IOException(s"width rebuild: cannot retire $path")
+    if (!f.rename(staging, new Path(path)))
+      throw new java.io.IOException(s"width rebuild: cannot swap in $staging")
+    f.delete(trash, true)
+  }
+
+  /** Width lifecycle across the degeneracy cutoff: chunkBits is frozen at
+    * first build, so a corpus that grows 10⁵ → 10⁸ would keep parity-width
+    * buckets forever even though every batch join would auto-pick the wide
+    * width. Called from maintenance (MaintenanceCli / the auto-compact
+    * hook): when the CURRENT confident-row count crosses the cutoff and
+    * the operating threshold's probe ball fits the wide masks, the index
+    * is rebuilt at the auto width. Only ever widens — a narrow index stays
+    * correct at any size, just skewed. Returns the new width when a
+    * rebuild happened. */
+  def maybeWiden(spark: SparkSession, path: String, sig: DataFrame,
+                 threshold: Int,
+                 wideCutoff: Long = BandJoin.AutoWideCutoff,
+                 wideCutoff64: Long = BandJoin64.AutoWideCutoff,
+                 numPartitions: Int = 32): Option[Int] = {
+    val cur = chunkBitsOf(spark, path)
+    val nConf = sig.filter(col("has_pdq") && !col("low_conf")).count()
+    val want = autoBuildBits(algoOf(spark, path), nConf, threshold,
+      wideCutoff, wideCutoff64)
+    if (want > cur) {
+      log.info(s"widening band index $path: $cur-bit -> $want-bit chunks " +
+        s"($nConf confident rows past the cutoff)")
+      rebuildWidth(spark, path, sig, want, numPartitions)
+      Some(want)
+    } else None
+  }
+
   /**
    * Probe the persisted index with a delta: verified duplicate edges
    * (a = delta ord, b = index ord, dist), per-side low-confidence limits

@@ -13,13 +13,23 @@ import graft.lsh.BandIndex
  * the same maintenance automatically every K versions, so this CLI is for
  * off-peak scheduling or recovering from a long un-compacted chain.
  *
- *   runMain graft.tools.MaintenanceCli <corpusWorkDir> [registryPath]
+ * Width lifecycle (round-4 VERDICT #4): compaction also checks whether the
+ * corpus's confident-row count has crossed the chunk-width degeneracy
+ * cutoff and rebuilds the index at the current auto width when it has.
+ * The optional threshold argument is the chain's OPERATING threshold —
+ * widening is gated on the probe ball fitting the wide masks at that
+ * threshold (a 32-bit PDQ index cannot serve probes above 31, so a
+ * default-threshold-40 chain correctly never widens).
+ *
+ *   runMain graft.tools.MaintenanceCli <corpusWorkDir> [registryPath] [threshold]
  */
 object MaintenanceCli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: MaintenanceCli <corpusWorkDir> [registryPath]")
+    require(args.nonEmpty,
+      "usage: MaintenanceCli <corpusWorkDir> [registryPath] [threshold]")
     val corpusWork = args(0)
     val registryPath = args.lift(1).filter(a => a.nonEmpty && a != "-")
+    val thresholdArg = args.lift(2).filter(a => a.nonEmpty && a != "-").map(_.toInt)
     val spark = Pipeline.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -32,14 +42,23 @@ object MaintenanceCli {
 
     // both algorithm-stamped indexes, when present (a corpus can carry a
     // pdq and a phash index side by side since round 4)
+    lazy val curSig = CorpusState.readSignatures(spark, corpusWork,
+      CorpusState.version(spark, corpusWork))
     Seq(s"$corpusWork/band_index", s"$corpusWork/band_index_phash")
       .filter(BandIndex.exists(spark, _)).foreach { indexPath =>
         BandIndex.compact(spark, indexPath)
+        // operating threshold: explicit arg, else the algorithm default
+        val thr = thresholdArg.getOrElse(
+          if (BandIndex.algoOf(spark, indexPath) == BandIndex.AlgoPhash64)
+            graft.lsh.BandJoin64.DefaultThreshold
+          else Pipeline.DefaultThreshold)
+        val widened = BandIndex.maybeWiden(spark, indexPath, curSig, thr)
         val segs = new java.io.File(indexPath).listFiles()
           .map(_.getName).count(_.startsWith("seg_"))
         println(s"== band index (${BandIndex.algoOf(spark, indexPath)}): " +
           s"compacted to $segs segment(s) " +
-          s"(${BandIndex.chunkBitsOf(spark, indexPath)}-bit chunks) ==")
+          s"(${BandIndex.chunkBitsOf(spark, indexPath)}-bit chunks" +
+          widened.map(w => s", WIDENED to $w-bit").getOrElse("") + ") ==")
       }
 
     registryPath.foreach { p =>

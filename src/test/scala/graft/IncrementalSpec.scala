@@ -130,6 +130,41 @@ class IncrementalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent"), e.getMessage)
   }
 
+  test("width lifecycle: widen past a (lowered) cutoff mid-chain, chain == batch") {
+    // round-4 VERDICT #4: chunkBits is frozen at first build; maintenance
+    // must rebuild at the auto width once the corpus crosses the cutoff.
+    // thr ≤ 31 so the 32-bit probe ball fits the mask cap.
+    val thr = 24
+    val base = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    val byIdx = rows.zipWithIndex
+    val corpus = byIdx.filter(_._2 % 3 == 0).map(_._1)
+    val delta1 = byIdx.filter(_._2 % 3 == 1).map(_._1)
+    val delta2 = byIdx.filter(_._2 % 3 == 2).map(_._1)
+    val idx = s"$base/corpus-work/band_index"
+
+    Pipeline.run(spark, toDF(corpus), s"$base/corpus-work", thr)
+    Incremental.run(spark, toDF(delta1),
+      s"$base/corpus-work", s"$base/delta1-work", thr)
+    assert(graft.lsh.BandIndex.chunkBitsOf(spark, idx) == 16)
+    val curSig = CorpusState.readSignatures(spark, s"$base/corpus-work",
+      CorpusState.version(spark, s"$base/corpus-work"))
+    // real cutoff not crossed → no rebuild
+    assert(graft.lsh.BandIndex.maybeWiden(spark, idx, curSig, thr).isEmpty)
+    assert(graft.lsh.BandIndex.chunkBitsOf(spark, idx) == 16)
+    // lowered cutoff crossed → rebuilt at the wide width, _meta updated
+    assert(graft.lsh.BandIndex.maybeWiden(spark, idx, curSig, thr,
+      wideCutoff = 1).contains(32))
+    assert(graft.lsh.BandIndex.chunkBitsOf(spark, idx) == 32)
+    // the chain continues over the widened index and still equals batch
+    val inc2 = Incremental.run(spark, toDF(delta2),
+      s"$base/corpus-work", s"$base/delta2-work", thr)
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work", thr)
+    assert(groupsOf(inc2) == groupsOf(full),
+      s"chain over widened index diverged: " +
+        s"only-inc=${(groupsOf(inc2) -- groupsOf(full)).take(3)} " +
+        s"only-full=${(groupsOf(full) -- groupsOf(inc2)).take(3)}")
+  }
+
   test("chained deltas: two sequential increments == one full batch run") {
     // round-1 ADVICE (high): a second delta must see the first delta's
     // signatures/components, not stale v0 state — otherwise ords collide
