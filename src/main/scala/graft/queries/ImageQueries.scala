@@ -67,7 +67,8 @@ object ImageQueries {
     // marker name versions the EXPORT SCHEMA (v3: + minhash table,
     // quality/fmt columns) — a corpus dir exported by an older build
     // re-exports the full set
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v4")
+    // v5: + enriched table (q_img_search oracle, round-4 VERDICT #5)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/oracle/_SUCCESS_ALL_v5")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     sig.select(col("ord"), col("image_id"),
@@ -88,6 +89,13 @@ object ImageQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/pvariants")
     sig.select(col("ord"), posexplode(col("minhash")).as(Seq("pos", "v")))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/minhash")
+    // enriched EXIF-derived frame: export only what SQL cannot re-derive
+    // (solar math + the kernel-parsed EXIF columns); country/subdivision/
+    // tz ARE re-derived in the oracle from lat/lon
+    enrichedOf(spark, sig)
+      .select(col("image_id"), col("orientation"), col("exif_ts"),
+        col("lat"), col("lon"), col("sun_azimuth"), col("sun_altitude"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/enriched")
     fs.create(marker, true).close()
   }
 
@@ -218,9 +226,12 @@ object ImageQueries {
     * timestamp — the reference's derived pseudo-tags 0xF001/0xF003-0xF006
     * (exif_types.rs:62-74) computed as a second batch job over the same
     * table (scanner.rs:2566-2731's background enrichment). */
-  def qImgEnriched(spark: SparkSession, dir: String): DataFrame = {
+  def qImgEnriched(spark: SparkSession, dir: String): DataFrame =
+    enrichedOf(spark, sigs(spark))
+
+  private def enrichedOf(spark: SparkSession, sig: DataFrame): DataFrame = {
     import spark.implicits._
-    val feats = sigs(spark).where(col("orientation").isNotNull)
+    val feats = sig.where(col("orientation").isNotNull)
       .select(col("image_id"), col("orientation"), col("exif_ts"),
         col("gps_lat").as("lat"), col("gps_lon").as("lon"))
     // quadrant "countries" covering the synth GPS grid — the boundary
@@ -281,6 +292,7 @@ object ImageQueries {
   private def oVars = s"read_parquet('$corpusRoot/oracle/variants/*.parquet')"
   private def oPVars = s"read_parquet('$corpusRoot/oracle/pvariants/*.parquet')"
   private def oMinhash = s"read_parquet('$corpusRoot/oracle/minhash/*.parquet')"
+  private def oEnriched = s"read_parquet('$corpusRoot/oracle/enriched/*.parquet')"
   private def oImages = s"read_parquet('$corpusRoot/images/*/*.parquet')"
 
   /** Decode-meta: w/h/byte-length/caption-length come from the RAW input
@@ -454,6 +466,28 @@ object ImageQueries {
        comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n)
        SELECT comp, count(*)::BIGINT AS n, min(id) AS min_ord, max(id) AS max_ord
        FROM comps GROUP BY comp ORDER BY comp"""
+
+  /** §2.9 search oracle (round-4 VERDICT #5): the predicate evaluation —
+    * and the country derivation feeding it — re-expressed in SQL over the
+    * exported enriched table. The synth GPS grid never lands on a quadrant
+    * boundary (fractional .25/.5 offsets), so the fixture polygons' PiP
+    * reduces exactly to sign tests on lon/lat, which DuckDB re-derives
+    * independently of the Spark point-in-polygon path; the search query
+    * "alt:>0 country:contains:west orientation:2-8" becomes its literal
+    * WHERE clause. Only the solar math itself rides the exported columns
+    * (DuckDB has no ephemeris). */
+  def sqlImgSearch(dir: String): String =
+    s"""WITH e AS (SELECT *,
+         CASE WHEN lon < 0 AND lat > 0 THEN 'northwest'
+              WHEN lon > 0 AND lat > 0 THEN 'northeast'
+              WHEN lon < 0 THEN 'southwest'
+              ELSE 'southeast' END AS country
+         FROM $oEnriched)
+       SELECT image_id, orientation, country, sun_altitude
+       FROM e
+       WHERE sun_altitude > 0 AND country LIKE '%west%'
+         AND orientation BETWEEN 2 AND 8
+       ORDER BY image_id"""
 
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
