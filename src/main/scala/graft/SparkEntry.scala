@@ -76,6 +76,7 @@ object SparkEntry {
     "q_img_dup_pairs" -> (IQ.qImgDupPairs _),
     "q_img_caption_candidates" -> (IQ.qImgCaptionCandidates _),
     "q_img_decode_meta" -> (IQ.qImgDecodeMeta _),
+    "q_img_header_dims" -> (IQ.qImgHeaderDims _),
     "q_img_phash_groups" -> (IQ.qImgPhashGroups _),
     "q_img_exif" -> (IQ.qImgExif _),
     "q_img_enriched" -> (IQ.qImgEnriched _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_img_phash_groups" -> IQ.sqlImgPhashGroups(d),
     "q_img_caption_candidates" -> IQ.sqlImgCaptionCandidates(d),
     "q_img_decode_meta" -> IQ.sqlImgDecodeMeta(d),
+    "q_img_header_dims" -> IQ.sqlImgHeaderDims(d),
     // decode-independent kernel slice: content classes straight off the
     // raw blob column (group-by bytes — no hash recomputation needed)
     "q_img_sig_meta" -> IQ.sqlImgSigMeta(d),

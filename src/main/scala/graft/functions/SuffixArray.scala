@@ -36,6 +36,40 @@ import org.apache.spark.sql.functions._
  */
 object SuffixArray {
 
+  /** Characters per document slice for the pre-explode exchange (below).
+    * Overridable for tests via the session conf. */
+  private def sliceLenOf(docs: DataFrame): Int = {
+    val n = docs.sparkSession.conf.get("graft.suffix.sliceLen", "65536").toInt
+    require(n >= 1, s"graft.suffix.sliceLen must be >= 1, got $n")
+    n
+  }
+
+  /** (doc_id, base, slice): ≤`sliceLen`(+`overlap`)-char slices of each
+    * document, hash-spread across the cluster. Bounds task skew: one
+    * pathological 100 MB document otherwise fans out length(text)
+    * generated rows (and, in [[adjacentLcp]], length(text) join matches)
+    * inside the single task that read it. The generator emits an array
+    * of slices (one O(len) copy) and posexplodes it, so the full text is
+    * never carried per generated row; `overlap` extends each slice past
+    * its boundary so capped-LCP prefixes can be read without touching
+    * the neighbor slice. */
+  private def docSlices(nonEmpty: DataFrame, sliceLen: Int,
+                        overlap: Int): DataFrame = {
+    // explicit partition count: a bare repartition(cols) is AQE-coalesced by
+    // BYTE size, and slice rows are small relative to the rows they fan out
+    // into — coalescing the slice exchange re-concentrates the explode into
+    // few tasks, exactly the skew this exchange exists to prevent
+    val parts = nonEmpty.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    nonEmpty
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (length(text) - 1) div $sliceLen),
+            i -> substring(text, i * $sliceLen + 1, ${sliceLen + overlap}))""")))
+      .select(col("doc_id"), (col("pos") * sliceLen).as("base"),
+        col("col").as("slice"))
+      .repartition(parts, col("doc_id"), col("base"))
+  }
+
   /** Dense global ordinal for each distinct key tuple, in key order:
     * distinct → [[Ranks.globalRowNumber]] (distinct keys ARE a total
     * order, so row number == dense rank). The returned frame is `df`
@@ -49,18 +83,23 @@ object SuffixArray {
 
   /** (doc_id, pos, srank) for every suffix of every non-empty document:
     * `pos` is 1-based, `srank` the corpus-wide DENSE rank of the suffix
-    * string (ties ⇔ identical suffixes). `docs` needs (doc_id, text). */
+    * string (ties ⇔ identical suffixes). `docs` needs (doc_id, text).
+    * The per-character fan-out runs AFTER a slice-level exchange, so the
+    * max rows any one task generates is bounded by slices-per-partition
+    * × sliceLen, not by the longest document. */
   def ranks(docs: DataFrame): DataFrame = {
+    val sliceLen = sliceLenOf(docs)
     val nonEmpty = docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) >= 1)
     val maxLen = {
       val r = nonEmpty.agg(max(length(col("text")))).head()
       if (r.isNullAt(0)) 0 else r.getInt(0)
     }
-    val suffixes = nonEmpty
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")))).as("pos"),
-        expr("substring(text, pos, 1)").as("c1"))
+    val suffixes = docSlices(nonEmpty, sliceLen, overlap = 0)
+      .select(col("doc_id"), col("base"), posexplode(expr(
+        "transform(sequence(1, length(slice)), i -> substring(slice, i, 1))")))
+      .select(col("doc_id"), (col("base") + col("pos") + 1).as("pos"),
+        col("col").as("c1"))
     var cur = rankByKey(suffixes, Seq("c1"), "srank")
       .select(col("doc_id"), col("pos"), col("srank"))
       .localCheckpoint() // break lineage growth across doubling rounds
@@ -103,10 +142,19 @@ object SuffixArray {
     * Returns (a_doc, a_pos, b_doc, b_pos, lcp) for pairs with
     * lcp ≥ minLcp. */
   def adjacentLcp(docs: DataFrame, minLcp: Int, maxLcp: Int = 64): DataFrame = {
+    // pre-strings come from maxLcp-overlapped slices joined on
+    // (doc_id, base), not from a join against the whole text on doc_id —
+    // the latter funnels a pathological document's every suffix row into
+    // one join partition (same skew as the pre-slice explode)
+    val sliceLen = sliceLenOf(docs)
+    val nonEmpty = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= 1)
     val withPre = ranks(docs)
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("base", expr(s"((pos - 1) div $sliceLen) * $sliceLen"))
+      .join(docSlices(nonEmpty, sliceLen, overlap = maxLcp),
+        Seq("doc_id", "base"))
       .select(col("doc_id"), col("pos"), col("srank"),
-        expr(s"substring(text, pos, $maxLcp)").as("pre"))
+        expr(s"substring(slice, pos - base, $maxLcp)").as("pre"))
     val ord = Ranks.globalRowNumber(withPre,
       Seq(col("srank").asc, col("doc_id").asc, col("pos").asc), "ordn")
     val a = ord.select(col("ordn"), col("doc_id").as("a_doc"),
@@ -134,7 +182,11 @@ object SuffixArray {
     * covers interior spans at scale). */
   def dupClasses(docs: DataFrame, minLen: Int): DataFrame = {
     val lens = docs.select(col("doc_id"), length(col("text")).as("dlen"))
-    ranks(docs).join(lens, "doc_id")
+    // broadcast: one 12-byte row per document, and a doc_id-shuffled join
+    // would put a pathological document's every suffix row in one
+    // partition. Shard-scale operator (see [[ranks]] scaladoc), so the
+    // per-doc side stays driver-small by scope.
+    ranks(docs).join(broadcast(lens), "doc_id")
       .where(col("dlen") - col("pos") + 1 >= minLen)
       .groupBy("srank")
       .agg(count(lit(1)).as("n_suffixes"),

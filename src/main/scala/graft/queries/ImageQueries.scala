@@ -490,6 +490,28 @@ object ImageQueries {
        ORDER BY image_id"""
 
   /** Multimodal plumbing — per-row decode/meta stats from the kernel. */
+  /** S7 header-only resolution probe (scanner.rs:1026-1096): dims parsed
+    * straight off the container bytes (PNG IHDR / JPEG SOF / TIFF IFD /
+    * RAW largest-preview SOF — plus JXL/HEIC/PDF headers, spec-gated),
+    * no pixel decode. Oracled decode-independently against the corpus's
+    * trusted w/h columns; gray-raw is headerless by construction. */
+  def qImgHeaderDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = corpus(spark)
+    val probe = udf((bytes: Array[Byte], fmt: String) =>
+      graft.kernel.HeaderDims.probe(bytes, fmt))
+    Synth.readImages(spark, d)
+      .where(col("fmt") =!= "gray-raw")
+      .select(col("image_id"), col("fmt"),
+        probe(col("bytes"), col("fmt")).as("p"))
+      .select(col("image_id"), col("fmt"),
+        col("p._1").as("hdr_w"), col("p._2").as("hdr_h"))
+      .orderBy("image_id")
+  }
+
+  def sqlImgHeaderDims(dir: String): String =
+    s"""SELECT image_id, fmt, w AS hdr_w, h AS hdr_h FROM $oImages
+       WHERE fmt <> 'gray-raw' ORDER BY image_id"""
+
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = corpus(spark)
     val images = Synth.readImages(spark, d)

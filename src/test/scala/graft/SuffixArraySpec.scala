@@ -48,6 +48,62 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == bruteRanks(docs))
   }
 
+  private def withSliceLen[T](n: Int)(body: => T): T = {
+    spark.conf.set("graft.suffix.sliceLen", n.toString)
+    try body finally spark.conf.unset("graft.suffix.sliceLen")
+  }
+
+  test("ranks unchanged when document slicing engages (sliceLen < doc length)") {
+    val docs = Seq(
+      1L -> "banana", 2L -> "bananas", 3L -> "anagram",
+      4L -> "banana", 5L -> "aaaaaaa", 6L -> "", 7L -> "b")
+    val got = withSliceLen(3)(run(docs))
+    assert(got == bruteRanks(docs))
+  }
+
+  test("pathologically long doc: per-task fan-out bounded by slices, not doc length") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val longDoc = Seq.fill(48000)(alpha(r.nextInt(26))).mkString
+    val docs = Seq(1L -> longDoc, 2L -> "short sibling")
+    val maxTaskShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val w = m.shuffleWriteMetrics.recordsWritten
+          maxTaskShuffleRecords.updateAndGet(c => math.max(c, w))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE partition coalescing re-merges this tiny corpus (~50 KB) into
+    // single-task stages downstream — correct behavior, since it coalesces
+    // by BYTE size, which at real scale bounds rows per task on its own.
+    // Disable it here so the listener measures what slicing controls: the
+    // per-task fan-out of the per-character explode.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val n = withSliceLen(1000)(
+        SuffixArray.ranks(docs.toDF("doc_id", "text")).count())
+      assert(n == longDoc.length + "short sibling".length)
+      // listener events are delivered asynchronously
+      Thread.sleep(3000)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // unsliced, the task reading doc 1 shuffle-writes all 48k suffix rows;
+    // sliced (1000 chars × 48 slices over 8 partitions) no task should come
+    // near half the document
+    val worst = maxTaskShuffleRecords.get()
+    assert(worst > 0, "listener saw no shuffle writes")
+    assert(worst < 24000,
+      s"a single task shuffle-wrote $worst records — slicing did not spread the explode")
+  }
+
   test("adjacent-rank LCP scan == brute-force sorted-suffix scan (interior spans)") {
     import spark.implicits._
     val docs = Seq(
@@ -78,6 +134,26 @@ class SuffixArraySpec extends AnyFunSuite {
     // the interior planted span must surface across docs 1/2
     assert(got.exists(p => Set(p._1, p._3) == Set(1L, 2L) ||
       Set(p._1, p._3) == Set(2L, 4L)), s"planted interior span missing: $got")
+  }
+
+  test("adjacent-rank LCP scan correct when slices are shorter than maxLcp") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "aaa the duplicated interior span here bbb",
+      2L -> "ccc the duplicated interior span here ddd",
+      3L -> "totally different words only")
+    val minLcp = 12; val maxLcp = 64
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val unsliced = collect(
+      SuffixArray.adjacentLcp(docs.toDF("doc_id", "text"), minLcp, maxLcp))
+    // sliceLen 7 « maxLcp 64: every pre-string crosses many slice
+    // boundaries and must come from the overlap extension
+    val sliced = withSliceLen(7)(collect(
+      SuffixArray.adjacentLcp(docs.toDF("doc_id", "text"), minLcp, maxLcp)))
+    assert(sliced == unsliced,
+      s"only-sliced=${(sliced diff unsliced).take(4)} only-unsliced=${(unsliced diff sliced).take(4)}")
   }
 
   test("dup classes find tail-anchored duplicate text across docs") {
