@@ -80,7 +80,12 @@ final case class DecodedImage(w: Int, h: Int, argb: Array[Int],
  * decode-failure path) — the status feeds per-fmt `_metrics` rows so a
  * silently-undecodable slice of a 100 TB corpus is visible, not lumped.
  *
- * Still stubbed (codecs absent in this container): JXL, PDF, HEIC
+ * PDF (scanner.rs:583-625) decodes its largest embedded image XObject via
+ * PdfImages (DCT = literal JPEG, Flate = Inflater + predictors) — the
+ * renderer-free analog of the RAW preview trick; text/vector-only pages
+ * and JPX/JBIG2/CCITT streams stay `unsupported`.
+ *
+ * Still stubbed (codecs absent in this container): JXL, HEIC
  * (scanner.rs:553-708) — reported as `unsupported`, distinct from `error`.
  */
 object ImageCodec {
@@ -125,6 +130,24 @@ object ImageCodec {
           extractLargestJpegPreview(bytes) match {
             case Some(img) => (Some(img), StatusOk)
             case None => (None, StatusError)
+          }
+        // PDF tier (scanner.rs:583-625 renders page 1; here: decode the
+        // LARGEST embedded image XObject, pure-JVM — DCT streams are
+        // literal JPEGs, Flate is Inflater + predictors; see PdfImages).
+        // `unsupported` is reserved for files whose image streams all
+        // need a codec the JVM lacks (JPX/JBIG2/CCITT/LZW) or that carry
+        // no raster at all (text/vector-only pages — nothing to hash
+        // without a renderer); undecodable bytes under a pdf label are
+        // `error`, same contract as every other real tier.
+        case "pdf" =>
+          val ex = PdfImages.extract(bytes)
+          ex.image match {
+            case Some(img) => (Some(img), StatusOk)
+            case None =>
+              val looksPdf = bytes.length >= 8 && bytes(0) == '%' &&
+                bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+              if (ex.sawCodecless || looksPdf) (None, StatusUnsupported)
+              else (None, StatusError)
           }
         // generic guessed-format fallback (S5, scanner.rs:713-735): ImageIO
         // sniffs the actual magic bytes regardless of the claimed fmt, so a

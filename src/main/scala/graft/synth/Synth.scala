@@ -461,6 +461,19 @@ object Synth {
         graft.kernel.Tiff.encodeRawContainer(thumb,
           ImageCodec.encodeJpeg(d, 0.90f), Some(tiffExif))
       case "gray-raw" => grayRawBytes(d)
+      // PDF wrapping one image XObject (the decode tier's renderer-free
+      // target shape): DCT = a literal JPEG payload; every third group a
+      // FlateDecode raster with the PNG Up predictor (lossless pixels,
+      // different bytes) so both filter paths flow through the pipeline
+      case "pdf" =>
+        if (group % 3 == 0)
+          graft.kernel.PdfImages.encodeImagePdf(
+            graft.kernel.PdfImages.flateRgbPayload(d), d.w, d.h,
+            "FlateDecode", decodeParms =
+              Some(s"<< /Predictor 15 /Colors 3 /Columns ${d.w} >>"))
+        else
+          graft.kernel.PdfImages.encodeImagePdf(
+            ImageCodec.encodeJpeg(d, 0.90f), d.w, d.h, "DCTDecode")
     }
     val storedFmt =
       if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff" else fmt
@@ -520,7 +533,11 @@ object Synth {
       val chosen2 = if (r.nextInt(100) < 8) chosen1 :+ "tiff16" else chosen1
       // ~10%: a RAW container whose embedded JPEG preview is the image
       // (decode tier S6 + container EXIF on real bytes)
-      val chosen = if (r.nextInt(100) < 10) chosen2 :+ "rawprev" else chosen2
+      val chosen3 = if (r.nextInt(100) < 10) chosen2 :+ "rawprev" else chosen2
+      // ~8%: a PDF wrapping the image as an XObject (decode tier S4's
+      // JVM-feasible slice; drawn LAST so earlier classes keep their
+      // rng stream across corpus versions)
+      val chosen = if (r.nextInt(100) < 8) chosen3 :+ "pdfwrap" else chosen3
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -551,6 +568,7 @@ object Synth {
           captionEdited(baseId, 3), baseId, "contrast")
         case "tiff16" => encRow(id("t16"), img, "tiff16", cap, baseId, "tiff16")
         case "rawprev" => encRow(id("raw"), img, "nef", cap, baseId, "rawprev")
+        case "pdfwrap" => encRow(id("pdf"), img, "pdf", cap, baseId, "pdfwrap")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")

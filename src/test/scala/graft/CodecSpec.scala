@@ -101,7 +101,10 @@ class CodecSpec extends AnyFunSuite {
     val junk = new Array[Byte](1024)
     assert(ImageCodec.decodeWithStatus(junk, "nef", 10, 10)._2 == "error")
     assert(ImageCodec.decodeWithStatus(junk, "jxl", 10, 10)._2 == "unsupported")
-    assert(ImageCodec.decodeWithStatus(junk, "pdf", 10, 10)._2 == "unsupported")
+    // pdf is a REAL tier since round 5: junk bytes under a pdf label are
+    // an error (same contract as nef); rasterless-but-valid PDFs stay
+    // unsupported — see PdfImagesSpec
+    assert(ImageCodec.decodeWithStatus(junk, "pdf", 10, 10)._2 == "error")
   }
 
   test("guessed-format fallback (S5): mislabeled-but-decodable rows decode") {

@@ -1,0 +1,144 @@
+package graft
+
+import graft.kernel.{DecodedImage, HeaderDims, ImageCodec, PdfImages}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/**
+ * PDF image-XObject decode tier (S4's JVM-feasible slice; the reference
+ * renders page 1 via a full renderer, scanner.rs:583-625 — here the
+ * contract is the RAW-preview one: decode the LARGEST embedded raster).
+ */
+class PdfImagesSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int): DecodedImage = {
+    val argb = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      0xff000000 | ((x * 255 / math.max(1, w - 1)) << 16) |
+        ((y * 255 / math.max(1, h - 1)) << 8) | ((x + y) % 256)
+    }
+    DecodedImage(w, h, argb)
+  }
+
+  test("DCT XObject: pixels equal a direct decode of the embedded JPEG") {
+    val img = gradient(100, 64)
+    val jpeg = ImageCodec.encodeJpeg(img, 0.9f)
+    val pdf = PdfImages.encodeImagePdf(jpeg, 100, 64, "DCTDecode")
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 100, 64)
+    assert(status == "ok" && dec.get.w == 100 && dec.get.h == 64)
+    val direct = ImageCodec.fromBuffered(
+      javax.imageio.ImageIO.read(new ByteArrayInputStream(jpeg)))
+    assert(dec.get.argb.sameElements(direct.argb),
+      "PDF-extracted JPEG decode differs from direct decode of the payload")
+  }
+
+  test("Flate XObject with PNG Up predictor: pixel-exact round trip") {
+    val img = gradient(57, 43) // odd dims: exercises the .5 MediaBox
+    val pdf = PdfImages.encodeImagePdf(
+      PdfImages.flateRgbPayload(img), 57, 43, "FlateDecode",
+      decodeParms = Some("<< /Predictor 15 /Colors 3 /Columns 57 >>"))
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 57, 43)
+    assert(status == "ok")
+    assert(dec.get.argb.sameElements(img.argb), "Flate+predictor not lossless")
+  }
+
+  test("header probe and decode agree on dimensions (S7 vs S4)") {
+    val img = gradient(57, 43)
+    val pdf = PdfImages.encodeImagePdf(
+      ImageCodec.encodeJpeg(img, 0.9f), 57, 43, "DCTDecode")
+    assert(HeaderDims.probe(pdf, "pdf").contains((57, 43)))
+  }
+
+  test("largest of several XObjects wins (RAW-preview contract)") {
+    val small = gradient(16, 12)
+    val large = gradient(80, 60)
+    def obj(n: Int, img: DecodedImage) =
+      s"$n 0 obj\n<< /Subtype /Image /Width ${img.w} /Height ${img.h} " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 15 /Colors 3 /Columns ${img.w} >> >>\nstream\n" +
+        new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+        "\nendstream\nendobj\n"
+    val pdf = ("%PDF-1.5\n" + obj(1, small) + obj(2, large)).getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok" && dec.get.w == 80 && dec.get.h == 60)
+    assert(dec.get.argb.sameElements(large.argb))
+  }
+
+  test("indirect /Width reference resolves (N G obj scan)") {
+    val img = gradient(24, 10)
+    val pdf = ("%PDF-1.5\n7 0 obj 24\nendobj\n8 0 obj 10\nendobj\n" +
+      "4 0 obj\n<< /Subtype /Image /Width 7 0 R /Height 8 0 R " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 15 /Colors 3 /Columns 24 >> >>\nstream\n" +
+      new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok" && dec.get.w == 24 && dec.get.h == 10)
+  }
+
+  test("1-bit bilevel gray (scanned-document shape)") {
+    // 10×4, rows packed MSB-first, padded to byte boundary: vertical bars
+    val w = 10; val h = 4
+    val rowBytes = (w + 7) / 8
+    val raw = new Array[Byte](rowBytes * h)
+    (0 until h).foreach { y =>
+      raw(y * rowBytes) = 0xaa.toByte // 10101010
+      raw(y * rowBytes + 1) = 0x80.toByte // 10......
+    }
+    val pdf = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 10 /Height 4 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /FlateDecode >>\nstream\n" +
+      new String(PdfImages.deflate(raw), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok")
+    val a = dec.get.argb
+    assert((a(0) & 0xffffff) == 0xffffff && (a(1) & 0xffffff) == 0x000000,
+      "bit 1 must be white, bit 0 black (PDF default /Decode [0 1])")
+    assert((a(8) & 0xffffff) == 0xffffff && (a(9) & 0xffffff) == 0x000000)
+  }
+
+  test("ASCIIHex chained before DCT applies in order") {
+    val img = gradient(20, 15)
+    val jpeg = ImageCodec.encodeJpeg(img, 0.9f)
+    val hexed = jpeg.flatMap(b => f"${b & 0xff}%02x".getBytes(ISO_8859_1)) :+ '>'.toByte
+    val pdf = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 20 /Height 15 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      "/Filter [/ASCIIHexDecode /DCTDecode] >>\nstream\n" +
+      new String(hexed, ISO_8859_1) + "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok" && dec.get.w == 20 && dec.get.h == 15)
+  }
+
+  test("JPX-only file is unsupported, not error; rasterless PDF unsupported; junk error") {
+    val jpx = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 10 /Height 10 " +
+      "/Filter /JPXDecode /Length 4 >>\nstream\nabcd\nendstream\nendobj\n")
+      .getBytes(ISO_8859_1)
+    assert(ImageCodec.decodeWithStatus(jpx, "pdf", 0, 0)._2 == "unsupported")
+    // a text-only page: valid PDF, nothing this tier can hash without a
+    // renderer — surfaced as unsupported in _metrics, never silently ok
+    val textOnly = ("%PDF-1.5\n5 0 obj\n<< /Length 20 >>\nstream\n" +
+      "BT /F1 12 Tf (hi) Tj ET\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    assert(ImageCodec.decodeWithStatus(textOnly, "pdf", 0, 0)._2 == "unsupported")
+    assert(ImageCodec.decodeWithStatus("not a pdf at all".getBytes(ISO_8859_1),
+      "pdf", 0, 0)._2 == "error")
+  }
+
+  test("ICCBased-wrapped RGB: component count inferred from byte length") {
+    val img = gradient(30, 20)
+    val raw = new Array[Byte](3 * 30 * 20)
+    (0 until 30 * 20).foreach { i =>
+      raw(3 * i) = ((img.argb(i) >> 16) & 0xff).toByte
+      raw(3 * i + 1) = ((img.argb(i) >> 8) & 0xff).toByte
+      raw(3 * i + 2) = (img.argb(i) & 0xff).toByte
+    }
+    val pdf = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 30 /Height 20 " +
+      "/ColorSpace [/ICCBased 9 0 R] /BitsPerComponent 8 /Filter /FlateDecode >>\nstream\n" +
+      new String(PdfImages.deflate(raw), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok")
+    assert(dec.get.argb.sameElements(img.argb))
+  }
+}
