@@ -155,6 +155,7 @@ object SparkEntry {
     // decode-independent kernel slice: content classes straight off the
     // raw blob column (group-by bytes — no hash recomputation needed)
     "q_img_sig_meta" -> IQ.sqlImgSigMeta(d),
+    "q_img_exif" -> IQ.sqlImgExif(d),
     // search predicates re-evaluated over the exported enriched frame
     "q_img_search" -> IQ.sqlImgSearch(d)
   )

@@ -23,9 +23,10 @@ object ImageQueries {
     * oracle SQL (the driver's DuckDB process resolves the same path).
     * The vN suffix versions corpus + kernel schema: bump it when Signature
     * gains columns or Synth output changes (v5: TIFF/RAW EXIF fixtures +
-    * RGBA16 pixel hash). */
+    * RGBA16 pixel hash; v6: pdfwrap variant class — PDF XObject decode
+    * tier, DCT + Flate/predictor payloads). */
   def corpusRoot: String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v5"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v6"
 
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
@@ -294,6 +295,7 @@ object ImageQueries {
   private def oMinhash = s"read_parquet('$corpusRoot/oracle/minhash/*.parquet')"
   private def oEnriched = s"read_parquet('$corpusRoot/oracle/enriched/*.parquet')"
   private def oImages = s"read_parquet('$corpusRoot/images/*/*.parquet')"
+  private def oTruth = s"read_parquet('$corpusRoot/truth/*.parquet')"
 
   /** Decode-meta: w/h/byte-length/caption-length come from the RAW input
     * table (read directly by DuckDB — independent of the kernel), joined
@@ -511,6 +513,49 @@ object ImageQueries {
   def sqlImgHeaderDims(dir: String): String =
     s"""SELECT image_id, fmt, w AS hdr_w, h AS hdr_h FROM $oImages
        WHERE fmt <> 'gray-raw' ORDER BY image_id"""
+
+  /** q_img_exif oracle (round 5): re-derive the EXIF values Synth WROTE
+    * — orientation/timestamp/GPS are pure arithmetic over the generation
+    * truth sidecar (group_id, variant) — and check the kernel's
+    * byte-level APP1/TIFF-IFD/RAW parse against them in DuckDB. Fully
+    * parser-independent: the only parse-side inputs are image_id and fmt.
+    * The per-variant constants are `abs(variant.hashCode)` (Java string
+    * hash — generation recipe, same role as the corpus path literal).
+    * EXIF exists exactly where the encoder put it: jpg APP1, tiff IFD,
+    * nef RAW container; png/gray-raw/pdf rows carry none. */
+  def sqlImgExif(dir: String): String = {
+    val variants = Seq("orig", "exact", "recompress", "resize", "rot90",
+      "rot180", "rot270", "fliph", "flipv", "gray-raw", "flat", "flatcopy",
+      "bright", "contrast", "tiff16", "rawprev", "pdfwrap", "crop5",
+      "caption-dup", "unrelated")
+    val hashCase = variants
+      .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
+    s"""WITH t AS (
+          SELECT image_id, group_id, CASE variant $hashCase END AS vh
+          FROM $oTruth),
+        e AS (
+          SELECT s.image_id,
+                 (s.fmt IN ('jpg','tiff','nef')) AS has_x,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                      THEN (t.vh % 8) + 1 END AS orient,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                      THEN 1500000000 + t.group_id * 86400 + (t.vh % 86400)
+                 END AS epoch,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                      THEN -60.0 + (t.group_id % 120) + 0.25 END AS lat0,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                      THEN -150.0 + ((t.group_id * 7) % 300) + 0.5 END AS lon0
+          FROM $oSigs s JOIN t ON t.image_id = s.image_id)
+        SELECT image_id,
+               CASE WHEN has_x THEN 1 ELSE 0 END AS has_exif,
+               orient AS orientation,
+               epoch AS exif_ts,
+               ROUND(lat0, 6) AS lat,
+               ROUND(lon0, 6) AS lon,
+               strftime(make_timestamp(epoch * 1000000),
+                        '%Y:%m:%d %H:%M:%S') AS exif_str
+        FROM e ORDER BY image_id"""
+  }
 
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = corpus(spark)
