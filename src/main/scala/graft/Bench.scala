@@ -86,10 +86,59 @@ object Bench {
     result.getOrElse(throw new RuntimeException(s"BenchOne($cpus) produced no result"))
   }
 
+  /** Synchronous-write throughput probe (MB/s). Round-5 finding: a shared
+    * -host window throttled /dev/vda to 4.4 MB/s fdatasync and inflated
+    * pipeline shots 3× while loadavg read idle — CPU provenance alone
+    * cannot attribute that. One small forced write before/after the shots
+    * bounds how IO-noisy this run's window was. */
+  private def ioProbeMBps(dir: String): Double = {
+    val f = java.io.File.createTempFile("ioprobe", ".bin", new java.io.File(dir))
+    try {
+      val bytes = 64L * 1024 * 1024
+      val buf = java.nio.ByteBuffer.allocate(1024 * 1024)
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      val t0 = System.nanoTime()
+      var written = 0L
+      while (written < bytes) {
+        buf.clear(); ch.write(buf); written += buf.capacity()
+      }
+      ch.force(true); ch.close()
+      bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    finally f.delete()
+  }
+
+  /** Single-core kernel canary (ms/img). Round-5 finding #2: the host's
+    * vCPUs are intermittently starved by the hypervisor — the same
+    * single-threaded kernel loop measured 2.4 ms/img and, 30 minutes
+    * later on an idle container, 145 ms/img; loadavg saw NOTHING (our
+    * threads stay runnable while the vCPU is descheduled) and /proc/stat
+    * steal barely moved. Per-shot canaries are the only reliable
+    * attribution instrument for wall-clock swings on identical code. */
+  private def cpuCanaryMsPerImg(): Double = {
+    val rows = (0L until 30L).flatMap(graft.synth.Synth.rowsForBase)
+      .map(r => graft.model.ImageRow(
+        r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    rows.take(rows.size / 3).foreach(
+      graft.kernel.SignatureKernel.computeOne(_, sha)) // JIT warm
+    val t0 = System.nanoTime()
+    rows.foreach(graft.kernel.SignatureKernel.computeOne(_, sha))
+    (System.nanoTime() - t0) / 1e6 / rows.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    // work dirs (parquet written per shot) go to tmpfs when available, for
+    // the same reason Pipeline.session puts shuffle there: container-disk
+    // IO on this shared host can collapse 50× in a bad window and the
+    // bench measures compute scaling, not the neighbors' disk schedule
+    val shmBase = new java.io.File("/dev/shm")
+    val tmp = (if (shmBase.isDirectory && shmBase.canWrite)
+      java.nio.file.Files.createTempDirectory(shmBase.toPath, "graft-bench")
+    else java.nio.file.Files.createTempDirectory("graft-bench")).toString
     val corpusDir = s"/root/repo/target/bench-corpus-$BenchBases"
 
     // --- part 1: headline queries at the driver's parallelism ---
@@ -128,13 +177,35 @@ object Bench {
     // all-N-then-all-4N order let a quiet window land entirely on one
     // level and showed up as efficiency swings 0.76-0.98 on an idle repo.)
     val loadBefore = loadavg()
+    val ioBefore = ioProbeMBps("/root/repo/target")
+    // Stage the corpus into tmpfs for the timed shots. On a real cluster
+    // the input sits in distributed storage whose aggregate bandwidth
+    // scales with the reader count; this container's single virtual disk
+    // is shared with neighbors and was measured collapsing 460 → 4 MB/s
+    // mid-window (round 5), which inflates the corpus-reading signatures
+    // stage 10× and poisons the N-vs-4N comparison the scaling gate
+    // reads. RAM-backed input is the honest stand-in, same reasoning as
+    // spark.local.dir above.
+    val corpusForShots =
+      if (shmBase.isDirectory && shmBase.canWrite &&
+        shmBase.getUsableSpace > 32L * 1024 * 1024 * 1024) {
+        val dst = s"/dev/shm/graft-bench-corpus-$BenchBases"
+        if (!new java.io.File(s"$dst/images/_SUCCESS").exists()) {
+          new ProcessBuilder("rm", "-rf", dst).start().waitFor()
+          val rc = new ProcessBuilder("cp", "-r", corpusDir, dst).start().waitFor()
+          if (rc != 0) { new ProcessBuilder("rm", "-rf", dst).start().waitFor() }
+        }
+        if (new java.io.File(s"$dst/images/_SUCCESS").exists()) dst else corpusDir
+      } else corpusDir
     val shots = Seq(4 -> "n1", 16 -> "m1", 4 -> "n2", 16 -> "m2", 16 -> "m3")
     val shotResults = shots.map { case (c, tag) =>
-      val r = runIsolated(c, corpusDir, s"$tmp/run_$tag", reps = 1)
+      val canary = cpuCanaryMsPerImg()
+      val r = runIsolated(c, corpusForShots, s"$tmp/run_$tag", reps = 1)
       val l = loadavg()
-      (c, r, l)
+      (c, r, l, canary)
     }
     val loadAfter = loadavg()
+    val ioAfter = ioProbeMBps("/root/repo/target")
     val n8 = shotResults.filter(_._1 == 4).map(_._2._1).head
     val t8 = shotResults.filter(_._1 == 4).map(_._2._2).min
     val n32 = shotResults.filter(_._1 == 16).map(_._2._1).head
@@ -159,10 +230,21 @@ object Bench {
     // wall-clock up to 2×; loadavg bounds how noisy this run's window was
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
       s""""mix":"synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"}"""
-    val shotJson = shotResults.map { case (c, (_, s, _), l) =>
-      f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f}""" }.mkString("[", ",", "]")
-    val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f,"shots":$shotJson}"""
+    val shotJson = shotResults.map { case (c, (_, s, _), l, canary) =>
+      f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f,""" +
+        f""""cpu_canary_ms":$canary%.2f}""" }.mkString("[", ",", "]")
+    val load = f"""{"before":$loadBefore%.2f,"after":$loadAfter%.2f,""" +
+      f""""disk_mbps_before":$ioBefore%.1f,"disk_mbps_after":$ioAfter%.1f,""" +
+      s""""corpus_on_tmpfs":${corpusForShots != corpusDir},""" +
+      s""""shots":$shotJson}"""
     val stagesJson = s"""{"local4":$stages8,"local16":$stages32}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"stages":$stagesJson,"corpus":$corpusMeta,"loadavg":$load}""")
+    // tmpfs hygiene: the per-shot work dirs and staged corpus live in shm
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+      if (corpusForShots != corpusDir)
+        new Directory(new java.io.File(corpusForShots)).deleteRecursively()
+    } catch { case scala.util.control.NonFatal(_) => }
   }
 }
