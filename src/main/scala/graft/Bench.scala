@@ -199,7 +199,17 @@ object Bench {
       } else corpusDir
     val shots = Seq(4 -> "n1", 16 -> "m1", 4 -> "n2", 16 -> "m2", 16 -> "m3")
     val shotResults = shots.map { case (c, tag) =>
-      val canary = cpuCanaryMsPerImg()
+      // bounded healthy-window wait: starvation bursts often pass within
+      // minutes; two short retries cost ≤4 min total and save a 10-minute
+      // shot from landing entirely inside one. Proceed regardless after
+      // the retries — the recorded canary still names the window quality.
+      var canary = cpuCanaryMsPerImg()
+      var retries = 0
+      while (canary > 4.5 && retries < 2) {
+        Thread.sleep(90000)
+        canary = cpuCanaryMsPerImg()
+        retries += 1
+      }
       val r = runIsolated(c, corpusForShots, s"$tmp/run_$tag", reps = 1)
       val l = loadavg()
       (c, r, l, canary)
@@ -228,8 +238,16 @@ object Bench {
     // corpus + host-load provenance so round-over-round deltas are
     // attributable (VERDICT r1 #10): the shared host's neighbors move
     // wall-clock up to 2×; loadavg bounds how noisy this run's window was
+    // the mix string describes the STORED corpus (it survives across
+    // rounds behind its _SUCCESS marker); a `_mix` sidecar written at
+    // generation time wins over the legacy hardcoded description
+    val mixFile = new java.io.File(s"$corpusDir/_mix")
+    val mix =
+      if (mixFile.isFile)
+        new String(java.nio.file.Files.readAllBytes(mixFile.toPath)).trim
+      else "synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
-      s""""mix":"synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"}"""
+      s""""mix":"$mix"}"""
     val shotJson = shotResults.map { case (c, (_, s, _), l, canary) =>
       f"""{"cores":$c,"sec":$s%.1f,"loadavg":$l%.2f,""" +
         f""""cpu_canary_ms":$canary%.2f}""" }.mkString("[", ",", "]")

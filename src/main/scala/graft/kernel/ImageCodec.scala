@@ -157,7 +157,16 @@ object ImageCodec {
         // HEIC (scanner.rs:553-708) — sniff to null and stay `unsupported`.
         case _ =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          if (img == null) (None, StatusUnsupported) else (Some(fromBuffered(img)), StatusOk)
+          if (img != null) (Some(fromBuffered(img)), StatusOk)
+          else if (bytes.length >= 8 && bytes(0) == '%' && bytes(1) == 'P' &&
+            bytes(2) == 'D' && bytes(3) == 'F')
+            // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes
+            // through the PDF tier like any other magic-byte match
+            PdfImages.extract(bytes).image match {
+              case Some(d) => (Some(d), StatusOk)
+              case None => (None, StatusUnsupported)
+            }
+          else (None, StatusUnsupported)
       }
     } catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
 

@@ -590,6 +590,16 @@ object Synth {
     rows.select($"image_id", $"group_id", $"variant")
       .write.mode("overwrite").parquet(s"$dir/truth")
     rows.unpersist()
+    // mix provenance sidecar: corpora outlive code revisions behind their
+    // _SUCCESS markers, so the recipe travels with the data (Bench embeds
+    // it in BENCH_r{N} JSON)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
+    mixOut.write(("synth rowsForBase r5: ~10% flat, ~20% unrelated, " +
+      "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
+      "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate)").getBytes("UTF-8"))
+    mixOut.close()
   }
 
   /** images table reader (drops the partition column). */

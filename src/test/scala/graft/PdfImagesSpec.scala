@@ -125,6 +125,14 @@ class PdfImagesSpec extends AnyFunSuite {
       "pdf", 0, 0)._2 == "error")
   }
 
+  test("mislabeled PDF bytes decode via the sniff fallback (S5)") {
+    val img = gradient(40, 30)
+    val pdf = PdfImages.encodeImagePdf(
+      ImageCodec.encodeJpeg(img, 0.9f), 40, 30, "DCTDecode")
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "xyz", 40, 30)
+    assert(status == "ok" && dec.get.w == 40 && dec.get.h == 30)
+  }
+
   test("ICCBased-wrapped RGB: component count inferred from byte length") {
     val img = gradient(30, 20)
     val raw = new Array[Byte](3 * 30 * 20)
