@@ -98,13 +98,16 @@ object Bench {
       val buf = java.nio.ByteBuffer.allocate(1024 * 1024)
       val ch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE)
-      val t0 = System.nanoTime()
-      var written = 0L
-      while (written < bytes) {
-        buf.clear(); ch.write(buf); written += buf.capacity()
-      }
-      ch.force(true); ch.close()
-      bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      try {
+        val t0 = System.nanoTime()
+        var written = 0L
+        while (written < bytes) {
+          buf.clear()
+          while (buf.hasRemaining) written += ch.write(buf) // short writes count
+        }
+        ch.force(true)
+        written / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      } finally ch.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
     finally f.delete()
   }
@@ -186,16 +189,24 @@ object Bench {
     // stage 10× and poisons the N-vs-4N comparison the scaling gate
     // reads. RAM-backed input is the honest stand-in, same reasoning as
     // spark.local.dir above.
+    // Copy into a run-unique dir, then atomically rename into place: a
+    // crashed `cp -r` can leave _SUCCESS present but parquet parts
+    // missing (readdir order is arbitrary), and a marker-gated reuse
+    // would silently time all five shots against a partial corpus. A
+    // fresh copy per run also can't go stale when the disk corpus is
+    // regenerated; staging from page cache costs ~10-20 s.
     val corpusForShots =
       if (shmBase.isDirectory && shmBase.canWrite &&
         shmBase.getUsableSpace > 32L * 1024 * 1024 * 1024) {
-        val dst = s"/dev/shm/graft-bench-corpus-$BenchBases"
-        if (!new java.io.File(s"$dst/images/_SUCCESS").exists()) {
-          new ProcessBuilder("rm", "-rf", dst).start().waitFor()
-          val rc = new ProcessBuilder("cp", "-r", corpusDir, dst).start().waitFor()
-          if (rc != 0) { new ProcessBuilder("rm", "-rf", dst).start().waitFor() }
-        }
-        if (new java.io.File(s"$dst/images/_SUCCESS").exists()) dst else corpusDir
+        val dst = s"/dev/shm/graft-bench-corpus-$BenchBases-run${ProcessHandle.current().pid()}"
+        new ProcessBuilder("rm", "-rf", dst).start().waitFor()
+        val stage = s"$dst.partial"
+        new ProcessBuilder("rm", "-rf", stage).start().waitFor()
+        val rc = new ProcessBuilder("cp", "-r", corpusDir, stage).start().waitFor()
+        val mv = if (rc == 0)
+          new ProcessBuilder("mv", stage, dst).start().waitFor() else -1
+        if (mv == 0 && new java.io.File(s"$dst/images/_SUCCESS").exists()) dst
+        else { new ProcessBuilder("rm", "-rf", stage, dst).start().waitFor(); corpusDir }
       } else corpusDir
     val shots = Seq(4 -> "n1", 16 -> "m1", 4 -> "n2", 16 -> "m2", 16 -> "m3")
     val shotResults = shots.map { case (c, tag) =>

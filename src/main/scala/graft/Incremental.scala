@@ -171,6 +171,24 @@ object CorpusState {
   def flag(spark: SparkSession, workDir: String, name: String): Option[String] =
     readFile(spark, s"$workDir/_meta_$name")
 
+  /** High-water-mark marker: monotonically raise `name` to `value`.
+    * Read-then-overwrite is safe here because the version-marker protocol
+    * refuses concurrent deltas (single writer per chain); a failed run
+    * leaving a higher mark errs in the safe direction (it only ever
+    * PREVENTS an index rebuild, never forces one). */
+  def bumpHwm(spark: SparkSession, workDir: String, name: String,
+              value: Int): Unit = {
+    val p = s"$workDir/_meta_$name"
+    val cur = readFile(spark, p).flatMap(_.trim.toIntOption)
+    if (cur.forall(_ < value)) {
+      fs(spark, workDir).mkdirs(new Path(workDir))
+      writeFile(spark, p, value.toString, overwrite = true)
+    }
+  }
+
+  def hwm(spark: SparkSession, workDir: String, name: String): Option[Int] =
+    readFile(spark, s"$workDir/_meta_$name").flatMap(_.trim.toIntOption)
+
   /** Latest version ≤ v carrying a compaction snapshot, if any. */
   private def latestSnapshot(spark: SparkSession, corpusWork: String,
                              v: Int): Option[Int] =
@@ -344,6 +362,11 @@ object Incremental {
         "(MAX_SIMILARITY_64, hamminghash.rs:5)")
     val indexAlgo =
       if (algorithm == "phash") BandIndex.AlgoPhash64 else BandIndex.AlgoPdq
+    // record the chain's operating-threshold high-water mark so index
+    // maintenance can never widen past what this chain actually probes at
+    // (a 32-bit index cannot serve thresholds > 31; MaintenanceCli gates
+    // its rebuild on max(arg, this mark))
+    CorpusState.bumpHwm(spark, corpusWork, s"thr_hwm_$indexAlgo", thr)
     val ckpt = new Ckpt(spark, deltaWork)
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {

@@ -180,13 +180,22 @@ object SuffixArray {
     * text runs reaching the end of each holder. The suffix-array form of
     * exact substring dedup (tail-anchored; the fingerprint operator
     * covers interior spans at scale). */
+  /** Documents above which the per-doc length frame stops being
+    * broadcast (≈ tens of MB hashed at this cap — the same order as
+    * BandIndex.MaxKeyFilterRows). Above it, fall back to the shuffled
+    * join: skew-prone on a pathological document but bounded in driver/
+    * executor memory, which a blind broadcast is not. */
+  private val MaxLensBroadcastDocs = 2000000L
+
   def dupClasses(docs: DataFrame, minLen: Int): DataFrame = {
     val lens = docs.select(col("doc_id"), length(col("text")).as("dlen"))
-    // broadcast: one 12-byte row per document, and a doc_id-shuffled join
-    // would put a pathological document's every suffix row in one
-    // partition. Shard-scale operator (see [[ranks]] scaladoc), so the
-    // per-doc side stays driver-small by scope.
-    ranks(docs).join(broadcast(lens), "doc_id")
+    // broadcast when provably small: one 12-byte row per document, and a
+    // doc_id-shuffled join would put a pathological document's every
+    // suffix row in one partition. The limit+count probe stops scanning
+    // at cap+1 rows, so the gate costs O(cap) not O(corpus).
+    val nDocs = lens.limit((MaxLensBroadcastDocs + 1).toInt).count()
+    val lensSide = if (nDocs <= MaxLensBroadcastDocs) broadcast(lens) else lens
+    ranks(docs).join(lensSide, "doc_id")
       .where(col("dlen") - col("pos") + 1 >= minLen)
       .groupBy("srank")
       .agg(count(lit(1)).as("n_suffixes"),

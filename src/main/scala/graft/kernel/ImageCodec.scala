@@ -144,10 +144,10 @@ object ImageCodec {
           ex.image match {
             case Some(img) => (Some(img), StatusOk)
             case None =>
-              val looksPdf = bytes.length >= 8 && bytes(0) == '%' &&
-                bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
-              if (ex.sawCodecless || looksPdf) (None, StatusUnsupported)
-              else (None, StatusError)
+              if (ex.sawCorrupt) (None, StatusError) // raster present, bytes bad
+              else if (ex.sawCodecless || PdfImages.looksPdf(bytes))
+                (None, StatusUnsupported) // JPX/… or rasterless page
+              else (None, StatusError) // not even a PDF under a pdf label
           }
         // generic guessed-format fallback (S5, scanner.rs:713-735): ImageIO
         // sniffs the actual magic bytes regardless of the claimed fmt, so a
@@ -158,8 +158,7 @@ object ImageCodec {
         case _ =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           if (img != null) (Some(fromBuffered(img)), StatusOk)
-          else if (bytes.length >= 8 && bytes(0) == '%' && bytes(1) == 'P' &&
-            bytes(2) == 'D' && bytes(3) == 'F')
+          else if (PdfImages.looksPdf(bytes))
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes
             // through the PDF tier like any other magic-byte match
             PdfImages.extract(bytes).image match {

@@ -33,8 +33,13 @@ object PdfImages {
 
   /** Decode outcome: the largest decodable embedded image, plus whether
     * any image stream was skipped for lack of a JVM codec (drives the
-    * ok / unsupported / error trichotomy in ImageCodec). */
-  final case class Extract(image: Option[DecodedImage], sawCodecless: Boolean)
+    * ok / unsupported / error trichotomy in ImageCodec): `sawCodecless`
+    * = an image stream needed a codec the JVM lacks (→ unsupported);
+    * `sawCorrupt` = an image stream with a SUPPORTED chain failed to
+    * decode (→ error — same contract as a truncated JPEG under any
+    * other tier). */
+  final case class Extract(image: Option[DecodedImage], sawCodecless: Boolean,
+                           sawCorrupt: Boolean)
 
   private val CodeclessFilters =
     Set("JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "LZWDecode")
@@ -44,25 +49,41 @@ object PdfImages {
   private val MaxStreams = 32
   private val MaxPixels = 100000000L
 
+  /** `%PDF-` header anywhere in the first 1 KiB (ISO 32000 §7.5.2 allows
+    * leading junk; some generators emit it). */
+  def looksPdf(bytes: Array[Byte]): Boolean = {
+    val lim = math.min(bytes.length - 5, 1019)
+    var i = 0
+    while (i <= lim) {
+      if (bytes(i) == '%' && bytes(i + 1) == 'P' && bytes(i + 2) == 'D' &&
+        bytes(i + 3) == 'F' && bytes(i + 4) == '-') return true
+      i += 1
+    }
+    false
+  }
+
   def extract(bytes: Array[Byte]): Extract = {
-    if (bytes.length < 8 || bytes(0) != '%' || bytes(1) != 'P' ||
-      bytes(2) != 'D' || bytes(3) != 'F') return Extract(None, sawCodecless = false)
+    if (!looksPdf(bytes))
+      return Extract(None, sawCodecless = false, sawCorrupt = false)
     // ISO-8859-1 maps bytes 1:1 to chars: string indexes == byte offsets
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val streams = findStreams(s).take(MaxStreams)
     var best: Option[DecodedImage] = None
     var codecless = false
+    var corrupt = false
     streams.foreach { case (dict, from, to) =>
       if (dict.contains("/Image")) {
         decodeImageStream(s, dict, bytes, from, to) match {
           case Right(img) =>
             if (best.forall(b => b.w.toLong * b.h < img.w.toLong * img.h))
               best = Some(img)
-          case Left(noCodec) => codecless ||= noCodec
+          case Left(noCodec) =>
+            codecless ||= noCodec
+            corrupt ||= !noCodec
         }
       }
     }
-    Extract(best, codecless)
+    Extract(best, codecless, corrupt)
   }
 
   // ---- stream discovery ------------------------------------------------
@@ -98,11 +119,21 @@ object PdfImages {
           if (d < s.length && s(d) == '\n') d += 1
           val end = s.indexOf("endstream", d)
           if (end > d) {
-            // trim the EOL that belongs to the endstream keyword
-            var e = end
-            if (e > d && s(e - 1) == '\n') e -= 1
-            if (e > d && s(e - 1) == '\r') e -= 1
-            out += ((s.substring(dictStart, dictEnd + 1), d, e))
+            val dict = s.substring(dictStart, dictEnd + 1)
+            // a direct /Length slices the payload EXACTLY — the EOL-trim
+            // fallback can eat a real trailing \r/\n byte of unfiltered
+            // sample data when the writer omitted its own EOL
+            val byLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+              .findFirstMatchIn(dict).map(_.group(1).toInt)
+              .filter(l => l >= 0 && d + l <= end)
+            val e = byLength.map(d + _).getOrElse {
+              // trim the EOL that belongs to the endstream keyword
+              var t = end
+              if (t > d && s(t - 1) == '\n') t -= 1
+              if (t > d && s(t - 1) == '\r') t -= 1
+              t
+            }
+            out += ((dict, d, e))
             trueKeyword = true
           }
         }
@@ -137,29 +168,45 @@ object PdfImages {
     }
   }
 
-  /** Filter chain, in application order. `/Filter /Name` or
-    * `/Filter [/A /B]`. An indirect /Filter (rare) parses as empty. */
-  private[kernel] def filters(dict: String): Seq[String] = {
+  /** Filter chain, in application order. `/Filter /Name`, `/Filter
+    * [/A /B]`, or an indirect `/Filter N G R` resolved by scanning for
+    * `N G obj <name-or-array>`. Returns Some(Nil) when the key is ABSENT
+    * (a legitimate uncompressed stream) and None when it is present but
+    * unresolvable — the caller must NOT treat unresolvable as raw, or
+    * compressed bytes get hashed as garbage pixels with status ok. */
+  private[kernel] def filters(dict: String, whole: String): Option[Seq[String]] = {
     val k = dict.indexOf("/Filter")
-    if (k < 0) return Seq.empty
+    if (k < 0) return Some(Seq.empty)
     val rest = dict.substring(k + "/Filter".length)
     val t = rest.dropWhile(c => c == ' ' || c == '\r' || c == '\n' || c == '\t')
+    def names(text: String) =
+      "/([A-Za-z0-9]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
     if (t.startsWith("[")) {
       val close = t.indexOf(']')
-      if (close < 0) Seq.empty
-      else "/([A-Za-z0-9]+)".r.findAllMatchIn(t.substring(0, close))
-        .map(_.group(1)).toSeq
-    } else "^/([A-Za-z0-9]+)".r.findFirstMatchIn(t).map(_.group(1)).toSeq
+      if (close < 0) None else Some(names(t.substring(0, close)))
+    } else if (t.startsWith("/"))
+      Some("^/([A-Za-z0-9]+)".r.findFirstMatchIn(t).map(_.group(1)).toSeq)
+    else
+      "^(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(t).flatMap { m =>
+        val objPat = ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) +
+          "\\s+obj\\s*((?:/[A-Za-z0-9]+)|(?:\\[[^\\]]*\\]))").r
+        objPat.findFirstMatchIn(whole).map(om => names(om.group(1)))
+      }
   }
 
   // ---- stream decode ---------------------------------------------------
 
-  /** Left(true) = undecodable for lack of a codec; Left(false) = not a
-    * usable image stream (parse/shape failure); Right = decoded. */
+  /** Left(true) = undecodable for lack of a codec (→ unsupported);
+    * Left(false) = an image stream whose supported chain failed to
+    * decode — truncated/garbled payload, malformed dims (→ error);
+    * Right = decoded. */
   private def decodeImageStream(whole: String, dict: String,
                                 bytes: Array[Byte], from: Int,
                                 to: Int): Either[Boolean, DecodedImage] = {
-    val chain = filters(dict)
+    val chain = filters(dict, whole) match {
+      case None => return Left(true) // present-but-unresolvable filter
+      case Some(c) => c
+    }
     if (chain.exists(CodeclessFilters)) return Left(true)
     val w = intValue(whole, dict, "Width").getOrElse(-1)
     val h = intValue(whole, dict, "Height").getOrElse(-1)

@@ -47,11 +47,17 @@ object MaintenanceCli {
     Seq(s"$corpusWork/band_index", s"$corpusWork/band_index_phash")
       .filter(BandIndex.exists(spark, _)).foreach { indexPath =>
         BandIndex.compact(spark, indexPath)
-        // operating threshold: explicit arg, else the algorithm default
-        val thr = thresholdArg.getOrElse(
-          if (BandIndex.algoOf(spark, indexPath) == BandIndex.AlgoPhash64)
+        // operating threshold: the MAX of the explicit arg (or algorithm
+        // default) and the chain's recorded high-water mark — a mistyped
+        // low CLI arg must not widen an index that real runs probe at a
+        // threshold the wide masks cannot serve (32-bit caps at 31)
+        val algo = BandIndex.algoOf(spark, indexPath)
+        val default =
+          if (algo == BandIndex.AlgoPhash64)
             graft.lsh.BandJoin64.DefaultThreshold
-          else Pipeline.DefaultThreshold)
+          else Pipeline.DefaultThreshold
+        val thr = math.max(thresholdArg.getOrElse(default),
+          CorpusState.hwm(spark, corpusWork, s"thr_hwm_$algo").getOrElse(default))
         val widened = BandIndex.maybeWiden(spark, indexPath, curSig, thr)
         val segs = new java.io.File(indexPath).listFiles()
           .map(_.getName).count(_.startsWith("seg_"))

@@ -146,6 +146,10 @@ class IncrementalSpec extends AnyFunSuite {
     Incremental.run(spark, toDF(delta1),
       s"$base/corpus-work", s"$base/delta1-work", thr)
     assert(graft.lsh.BandIndex.chunkBitsOf(spark, idx) == 16)
+    // the chain records its operating-threshold high-water mark, so a
+    // mistyped low MaintenanceCli arg can never widen past serviceability
+    assert(CorpusState.hwm(spark, s"$base/corpus-work",
+      s"thr_hwm_${graft.lsh.BandIndex.AlgoPdq}").contains(thr))
     val curSig = CorpusState.readSignatures(spark, s"$base/corpus-work",
       CorpusState.version(spark, s"$base/corpus-work"))
     // real cutoff not crossed → no rebuild

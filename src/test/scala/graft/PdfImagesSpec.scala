@@ -133,6 +133,53 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(status == "ok" && dec.get.w == 40 && dec.get.h == 30)
   }
 
+  test("indirect /Filter resolves; unresolvable indirect is unsupported, never raw") {
+    val img = gradient(24, 10)
+    val payload = new String(PdfImages.flateRgbPayload(img), ISO_8859_1)
+    def doc(filterRef: String, defs: String) =
+      (s"%PDF-1.5\n$defs" +
+        s"4 0 obj\n<< /Subtype /Image /Width 24 /Height 10 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter $filterRef " +
+        "/DecodeParms << /Predictor 15 /Colors 3 /Columns 24 >> >>\nstream\n" +
+        payload + "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val resolved = doc("9 0 R", "9 0 obj /FlateDecode\nendobj\n")
+    val (dec, st) = ImageCodec.decodeWithStatus(resolved, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.argb.sameElements(img.argb))
+    // dangling reference: MUST NOT fall through to raw-sample decoding —
+    // compressed bytes hashed as pixels would be silently wrong dedup
+    val dangling = doc("9 0 R", "")
+    assert(ImageCodec.decodeWithStatus(dangling, "pdf", 0, 0)._2 == "unsupported")
+  }
+
+  test("corrupt raster stream is error, not unsupported (RAW-tier parity)") {
+    // garbage bytes under a DCTDecode filter: a raster is PRESENT but its
+    // payload doesn't decode — data corruption, not a missing codec
+    val pdf = PdfImages.encodeImagePdf(Array.fill[Byte](500)(7), 30, 20, "DCTDecode")
+    assert(ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)._2 == "error")
+  }
+
+  test("header junk before %PDF- is tolerated (ISO 32000 first-1KiB rule)") {
+    val img = gradient(18, 12)
+    val clean = PdfImages.encodeImagePdf(ImageCodec.encodeJpeg(img, 0.9f), 18, 12, "DCTDecode")
+    val junked = ("ï»¿GARBAGE-PREAMBLE\n").getBytes(ISO_8859_1) ++ clean
+    val (dec, st) = ImageCodec.decodeWithStatus(junked, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.w == 18)
+    assert(PdfImages.looksPdf(junked))
+  }
+
+  test("exact /Length beats the endstream EOL trim for raw sample data") {
+    // unfiltered 8-bit gray whose LAST byte is \r — the trim heuristic
+    // would eat it; the direct /Length slices exactly
+    val w = 4; val h = 2
+    val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 0x0d)
+    val pdf = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 4 /Height 2 " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${raw.length} >>\nstream\n" +
+      new String(raw, ISO_8859_1) + "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, st) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.w == w && dec.get.h == h)
+    assert((dec.get.argb(7) & 0xff) == 0x0d, "trailing CR byte was trimmed away")
+  }
+
   test("ICCBased-wrapped RGB: component count inferred from byte length") {
     val img = gradient(30, 20)
     val raw = new Array[Byte](3 * 30 * 20)
