@@ -158,14 +158,20 @@ object ImageCodec {
         case _ =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           if (img != null) (Some(fromBuffered(img)), StatusOk)
-          else if (PdfImages.looksPdf(bytes))
+          else if (PdfImages.looksPdf(bytes)) {
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes
-            // through the PDF tier like any other magic-byte match
-            PdfImages.extract(bytes).image match {
+            // through the PDF tier like any other magic-byte match, with
+            // the SAME ok/error/unsupported trichotomy as the labeled
+            // path: corrupt bytes must not hide as `unsupported` just
+            // because the label was wrong
+            val ex = PdfImages.extract(bytes)
+            ex.image match {
               case Some(d) => (Some(d), StatusOk)
-              case None => (None, StatusUnsupported)
+              case None =>
+                if (ex.sawCorrupt) (None, StatusError)
+                else (None, StatusUnsupported)
             }
-          else (None, StatusUnsupported)
+          } else (None, StatusUnsupported)
       }
     } catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
 

@@ -44,6 +44,14 @@ object PdfImages {
   private val CodeclessFilters =
     Set("JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "LZWDecode")
 
+  /** Thrown inside a decode chain when a SUPPORTED filter hits a
+    * parameter combination this tier has no path for (e.g. predictor 2
+    * over sub-byte samples) — mapped to Left(true) = `unsupported`, NOT
+    * `error`, because the bytes are not corrupt. */
+  private final class NoCodec
+    extends RuntimeException("no codec for this parameter combination",
+      null, false, false)
+
   /** Streams tried per file and pixel-area ceiling — bounds on
     * adversarial inputs, same spirit as the RAW path's take(8). */
   private val MaxStreams = 32
@@ -67,20 +75,23 @@ object PdfImages {
       return Extract(None, sawCodecless = false, sawCorrupt = false)
     // ISO-8859-1 maps bytes 1:1 to chars: string indexes == byte offsets
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val streams = findStreams(s).take(MaxStreams)
+    // cap AFTER restricting to /Image dicts — content/font/metadata
+    // streams must not consume the decode budget (a 25-page scan carries
+    // dozens of non-raster streams before its images; discovery is a
+    // linear scan either way, only DECODE work needs bounding)
+    val streams =
+      findStreams(s).filter(_._1.contains("/Image")).take(MaxStreams)
     var best: Option[DecodedImage] = None
     var codecless = false
     var corrupt = false
     streams.foreach { case (dict, from, to) =>
-      if (dict.contains("/Image")) {
-        decodeImageStream(s, dict, bytes, from, to) match {
-          case Right(img) =>
-            if (best.forall(b => b.w.toLong * b.h < img.w.toLong * img.h))
-              best = Some(img)
-          case Left(noCodec) =>
-            codecless ||= noCodec
-            corrupt ||= !noCodec
-        }
+      decodeImageStream(s, dict, bytes, from, to) match {
+        case Right(img) =>
+          if (best.forall(b => b.w.toLong * b.h < img.w.toLong * img.h))
+            best = Some(img)
+        case Left(noCodec) =>
+          codecless ||= noCodec
+          corrupt ||= !noCodec
       }
     }
     Extract(best, codecless, corrupt)
@@ -98,6 +109,7 @@ object PdfImages {
     var idx = s.indexOf("stream")
     while (idx >= 0) {
       var trueKeyword = false
+      var payloadEnd = 0
       var j = idx - 1
       while (j >= 0 && (s(j) == ' ' || s(j) == '\r' || s(j) == '\n' || s(j) == '\t')) j -= 1
       val dictEnd = j // index of the closing '>' (second of ">>")
@@ -117,33 +129,47 @@ object PdfImages {
           var d = idx + "stream".length
           if (d < s.length && s(d) == '\r') d += 1
           if (d < s.length && s(d) == '\n') d += 1
-          val end = s.indexOf("endstream", d)
-          if (end > d) {
-            val dict = s.substring(dictStart, dictEnd + 1)
-            // a direct /Length slices the payload EXACTLY — the EOL-trim
-            // fallback can eat a real trailing \r/\n byte of unfiltered
-            // sample data when the writer omitted its own EOL
-            val byLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
-              .findFirstMatchIn(dict).map(_.group(1).toInt)
-              .filter(l => l >= 0 && d + l <= end)
-            val e = byLength.map(d + _).getOrElse {
+          val dict = s.substring(dictStart, dictEnd + 1)
+          // a direct /Length slices the payload EXACTLY — trusted when the
+          // endstream keyword actually follows it (modulo EOL), which is
+          // the one mechanism PDF gives a writer whose BINARY payload
+          // embeds the letters "endstream"; the first-occurrence scan is
+          // only the fallback for writers that omitted /Length, and its
+          // EOL-trim can eat a real trailing \r/\n sample byte
+          def endstreamAt(p0: Int): Boolean = {
+            var p = p0
+            while (p < s.length &&
+              (s(p) == ' ' || s(p) == '\r' || s(p) == '\n' || s(p) == '\t')) p += 1
+            s.startsWith("endstream", p)
+          }
+          val byLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+            .filter(l => l >= 0 && d.toLong + l <= s.length && endstreamAt(d + l))
+          val e = byLength.map(d + _).orElse {
+            val end = s.indexOf("endstream", d)
+            if (end <= d) None
+            else {
               // trim the EOL that belongs to the endstream keyword
               var t = end
               if (t > d && s(t - 1) == '\n') t -= 1
               if (t > d && s(t - 1) == '\r') t -= 1
-              t
+              Some(t)
             }
-            out += ((dict, d, e))
+          }
+          e.foreach { ee =>
+            out += ((dict, d, ee))
+            payloadEnd = ee
             trueKeyword = true
           }
         }
       }
-      // a true keyword advances past its payload (binary data can embed
-      // the letters "stream"); a false match just steps forward one
+      // a true keyword advances past its payload END (binary data can
+      // embed both "stream" and "endstream"); a false match steps one
       idx =
         if (trueKeyword) {
-          val next = s.indexOf("endstream", idx + 6)
-          if (next < 0) -1 else s.indexOf("stream", next + 9)
+          val next = s.indexOf("endstream", payloadEnd)
+          if (next < 0) s.indexOf("stream", payloadEnd)
+          else s.indexOf("stream", next + 9)
         } else s.indexOf("stream", idx + 1)
     }
     out.toSeq
@@ -183,7 +209,16 @@ object PdfImages {
       "/([A-Za-z0-9]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
     if (t.startsWith("[")) {
       val close = t.indexOf(']')
-      if (close < 0) None else Some(names(t.substring(0, close)))
+      if (close < 0) None
+      else {
+        val body = t.substring(1, close)
+        // array entries may themselves be indirect refs (/Filter [3 0 R])
+        // — names() would see none and report "no filter", hashing
+        // compressed bytes as pixels; refs inside an array are
+        // unresolvable here, so the whole chain is
+        if ("\\d+\\s+\\d+\\s+R".r.findFirstIn(body).isDefined) None
+        else Some(names(body))
+      }
     } else if (t.startsWith("/"))
       Some("^/([A-Za-z0-9]+)".r.findFirstMatchIn(t).map(_.group(1)).toSeq)
     else
@@ -239,8 +274,11 @@ object PdfImages {
         case _ => return Left(true) // unknown filter — no codec here
       }
       // no DCT terminal: `data` is raw samples — reconstruct from shape
-      rawSamples(data, w, h, dict).toRight(left = false)
-    } catch { case scala.util.control.NonFatal(_) => Left(false) }
+      rawSamples(data, w, h, dict, whole).toRight(left = false)
+    } catch {
+      case _: NoCodec => Left(true)
+      case scala.util.control.NonFatal(_) => Left(false)
+    }
   }
 
   /** Raw (post-Flate) samples → pixels. Components come from /ColorSpace
@@ -248,8 +286,11 @@ object PdfImages {
     * resolution needs full object graph walking) they are INFERRED from
     * byte count — sampleBytes / (w·h·bpc/8) is exact for intact streams. */
   private def rawSamples(data: Array[Byte], w: Int, h: Int,
-                         dict: String): Option[DecodedImage] = {
-    val bpc = intValue(dict, dict, "BitsPerComponent").getOrElse(8)
+                         dict: String, whole: String): Option[DecodedImage] = {
+    // `whole` resolves an indirect /BitsPerComponent N G R (legal, same
+    // as Width/Height); scanning only the dict could never find the
+    // target object and would silently default a 16-bit image to 8
+    val bpc = intValue(whole, dict, "BitsPerComponent").getOrElse(8)
     val csName = nameValue(dict, "ColorSpace")
     val comps = csName match {
       case Some("DeviceRGB") => 3
@@ -380,23 +421,45 @@ object PdfImages {
     out
   }
 
-  /** TIFF predictor 2: horizontal differencing over 8-bit samples. */
-  private def tiffUnpredict(data: Array[Byte], columns: Int, colors: Int,
-                            bpc: Int): Array[Byte] = {
-    if (bpc != 8) return data
-    val rowBytes = columns * colors
-    val out = data.clone()
-    var y = 0
-    while ((y + 1) * rowBytes <= out.length) {
-      var x = colors
-      while (x < rowBytes) {
-        out(y * rowBytes + x) =
-          ((out(y * rowBytes + x) + out(y * rowBytes + x - colors)) & 0xff).toByte
-        x += 1
+  /** TIFF predictor 2: horizontal differencing over 8- or 16-bit samples
+    * (big-endian shorts per ISO 32000 §7.4.4.4). Sub-byte sample widths
+    * have no undo path here — throwing NoCodec keeps them `unsupported`
+    * rather than silently hashing still-differenced samples as pixels. */
+  private[kernel] def tiffUnpredict(data: Array[Byte], columns: Int,
+                                    colors: Int, bpc: Int): Array[Byte] = bpc match {
+    case 8 =>
+      val rowBytes = columns * colors
+      val out = data.clone()
+      var y = 0
+      while ((y + 1) * rowBytes <= out.length) {
+        var x = colors
+        while (x < rowBytes) {
+          out(y * rowBytes + x) =
+            ((out(y * rowBytes + x) + out(y * rowBytes + x - colors)) & 0xff).toByte
+          x += 1
+        }
+        y += 1
       }
-      y += 1
-    }
-    out
+      out
+    case 16 =>
+      val rowShorts = columns * colors
+      val out = data.clone()
+      var y = 0
+      while ((y + 1).toLong * rowShorts * 2 <= out.length) {
+        var x = colors
+        while (x < rowShorts) {
+          val i = (y * rowShorts + x) * 2
+          val p = i - colors * 2
+          val v = (((out(i) & 0xff) << 8) | (out(i + 1) & 0xff)) +
+            (((out(p) & 0xff) << 8) | (out(p + 1) & 0xff))
+          out(i) = ((v >> 8) & 0xff).toByte
+          out(i + 1) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    case _ => throw new NoCodec
   }
 
   private def asciiHex(data: Array[Byte]): Array[Byte] = {
@@ -490,7 +553,10 @@ object PdfImages {
     ascii(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
     val xref = out.size()
     ascii("xref\n0 6\n0000000000 65535 f \n")
-    (1 to 5).foreach(i => ascii(f"${offsets(i)}%010d 00000 n \n"))
+    (1 to 5).foreach { i =>
+      val t = offsets(i).toString // zero-pad by hand: %d localizes digits
+      ascii("0" * (10 - t.length) + t + " 00000 n \n")
+    }
     ascii(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }

@@ -180,6 +180,138 @@ class PdfImagesSpec extends AnyFunSuite {
     assert((dec.get.argb(7) & 0xff) == 0x0d, "trailing CR byte was trimmed away")
   }
 
+  test("/Filter array of indirect refs is unsupported, never raw") {
+    // /Filter [9 0 R]: names() sees no /Name inside the array — treating
+    // that as "no filter" would hash zlib bytes as gray pixels with ok
+    val img = gradient(24, 10)
+    val pdf = ("%PDF-1.5\n9 0 obj /FlateDecode\nendobj\n" +
+      "4 0 obj\n<< /Subtype /Image /Width 24 /Height 10 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter [9 0 R] " +
+      "/DecodeParms << /Predictor 15 /Colors 3 /Columns 24 >> >>\nstream\n" +
+      new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    assert(ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)._2 == "unsupported")
+  }
+
+  test("TIFF predictor 2 over 16-bit samples undoes differencing; sub-byte is unsupported") {
+    val w = 12; val h = 5
+    val img = gradient(w, h)
+    // truth samples: 16-bit BE per component, hi byte = the 8-bit channel
+    val comps = Array.tabulate(w * h * 3) { j =>
+      val p = img.argb(j / 3)
+      ((j % 3: @unchecked) match {
+        case 0 => (p >> 16) & 0xff
+        case 1 => (p >> 8) & 0xff
+        case 2 => p & 0xff
+      }) << 8
+    }
+    val diffed = new Array[Byte](comps.length * 2)
+    (0 until h).foreach { y =>
+      (0 until w * 3).foreach { x =>
+        val i = y * w * 3 + x
+        val v = if (x < 3) comps(i) else (comps(i) - comps(i - 3)) & 0xffff
+        diffed(2 * i) = ((v >> 8) & 0xff).toByte
+        diffed(2 * i + 1) = (v & 0xff).toByte
+      }
+    }
+    val pdf = PdfImages.encodeImagePdf(PdfImages.deflate(diffed), w, h,
+      "FlateDecode", bpc = 16, decodeParms =
+        Some(s"<< /Predictor 2 /Colors 3 /Columns $w /BitsPerComponent 16 >>"))
+    val (dec, st) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(st == "ok", "16-bit predictor-2 stream must decode")
+    assert(dec.get.argb.sameElements(img.argb),
+      "still-differenced 16-bit samples leaked through as pixels")
+    // predictor 2 over 4-bit samples: no undo path — must be unsupported,
+    // not a silent pass-through of differenced samples
+    val sub = PdfImages.encodeImagePdf(PdfImages.deflate(new Array[Byte](w * h)),
+      w, h, "FlateDecode", colorSpace = "DeviceGray", bpc = 4, decodeParms =
+        Some(s"<< /Predictor 2 /Colors 1 /Columns $w /BitsPerComponent 4 >>"))
+    assert(ImageCodec.decodeWithStatus(sub, "pdf", 0, 0)._2 == "unsupported")
+  }
+
+  test("indirect /BitsPerComponent resolves against the whole document") {
+    // 16-bit gray via /BitsPerComponent 9 0 R: resolving against only the
+    // dict would default to 8 and misread every other byte as a sample
+    val w = 16; val h = 6
+    val img = gradient(w, h)
+    val raw = new Array[Byte](2 * w * h)
+    (0 until w * h).foreach { i =>
+      raw(2 * i) = ((img.argb(i) >> 16) & 0xff).toByte // hi byte = gray
+      raw(2 * i + 1) = 0x5a
+    }
+    val pdf = ("%PDF-1.5\n9 0 obj 16\nendobj\n" +
+      s"4 0 obj\n<< /Subtype /Image /Width $w /Height $h " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 9 0 R /Filter /FlateDecode >>\nstream\n" +
+      new String(PdfImages.deflate(raw), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, st) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.w == w && dec.get.h == h)
+    val g0 = (img.argb(w + 3) >> 16) & 0xff
+    assert((dec.get.argb(w + 3) & 0xff) == g0,
+      "indirect /BitsPerComponent fell back to 8 — samples misread")
+  }
+
+  test("decode budget is spent on /Image dicts only (raster after 40 content streams)") {
+    val filler = (1 to 40).map { i =>
+      s"${i + 10} 0 obj\n<< /Length 12 >>\nstream\nBT (x) Tj ET\nendstream\nendobj\n"
+    }.mkString
+    val img = gradient(26, 14)
+    val pdf = ("%PDF-1.5\n" + filler +
+      "4 0 obj\n<< /Subtype /Image /Width 26 /Height 14 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 15 /Colors 3 /Columns 26 >> >>\nstream\n" +
+      new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, st) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.w == 26,
+      "non-image streams consumed the MaxStreams budget")
+  }
+
+  test("mislabeled corrupt PDF is error, not unsupported (trichotomy survives the sniff path)") {
+    // same bytes, two labels, one verdict: a present-but-garbled raster
+    val pdf = PdfImages.encodeImagePdf(Array.fill[Byte](500)(7), 30, 20, "DCTDecode")
+    assert(ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)._2 == "error")
+    assert(ImageCodec.decodeWithStatus(pdf, "bin", 0, 0)._2 == "error",
+      "the sniff fallback hid corrupt bytes as unsupported")
+  }
+
+  test("xref offsets are ASCII digits under a localized-digit default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(
+        java.util.Locale.forLanguageTag("ar-EG-u-nu-arab"))
+      val pdf = PdfImages.encodeImagePdf(
+        ImageCodec.encodeJpeg(gradient(18, 12), 0.9f), 18, 12, "DCTDecode")
+      val s = new String(pdf, ISO_8859_1)
+      val x = s.indexOf("xref")
+      assert(x >= 0)
+      val entries = "([^ \\n]{10}) 00000 n".r
+        .findAllMatchIn(s.substring(x)).map(_.group(1)).toSeq
+      assert(entries.size == 5)
+      entries.foreach(e => assert(e.forall(c => c >= '0' && c <= '9'),
+        s"xref offset '$e' carries non-ASCII digits"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("/Length extends a payload past embedded 'endstream' bytes") {
+    // legal raw gray stream whose SAMPLE DATA spells "endstream" — the
+    // first-occurrence scan would truncate it; the direct /Length must win
+    val w = 8; val h = 4
+    val raw = Array.tabulate[Byte](w * h)(i => (i * 7 % 251).toByte)
+    "endstream".getBytes(ISO_8859_1).zipWithIndex.foreach {
+      case (b, i) => raw(10 + i) = b
+    }
+    val pdf = ("%PDF-1.5\n4 0 obj\n<< /Subtype /Image /Width 8 /Height 4 " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${raw.length} >>\nstream\n" +
+      new String(raw, ISO_8859_1) + "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, st) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(st == "ok" && dec.get.w == w && dec.get.h == h)
+    assert((dec.get.argb(10) & 0xff) == ('e'.toInt & 0xff),
+      "payload truncated at the embedded endstream marker")
+    assert((dec.get.argb(w * h - 1) & 0xff) == ((w * h - 1) * 7 % 251),
+      "tail samples lost")
+  }
+
   test("ICCBased-wrapped RGB: component count inferred from byte length") {
     val img = gradient(30, 20)
     val raw = new Array[Byte](3 * 30 * 20)
