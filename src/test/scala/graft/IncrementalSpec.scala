@@ -169,6 +169,31 @@ class IncrementalSpec extends AnyFunSuite {
         s"only-full=${(groupsOf(full) -- groupsOf(inc2)).take(3)}")
   }
 
+  test("missing index mid-chain self-heals from corpus signatures (rebuild crash window)") {
+    // rebuildWidth's two-rename swap has a crash window with NO live
+    // index; its contract says the next incremental run rebuilds from
+    // corpus signatures rather than serving wrong results. Simulate the
+    // window by deleting the live index between deltas.
+    val base = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val byIdx = rows.zipWithIndex
+    val corpus = byIdx.filter(_._2 % 3 == 0).map(_._1)
+    val delta1 = byIdx.filter(_._2 % 3 == 1).map(_._1)
+    val delta2 = byIdx.filter(_._2 % 3 == 2).map(_._1)
+    Pipeline.run(spark, toDF(corpus), s"$base/corpus-work", Threshold)
+    Incremental.run(spark, toDF(delta1),
+      s"$base/corpus-work", s"$base/delta1-work", Threshold)
+    val idx = new org.apache.hadoop.fs.Path(s"$base/corpus-work/band_index")
+    val fsys = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.delete(idx, true), "test setup: index dir should exist")
+    val inc2 = Incremental.run(spark, toDF(delta2),
+      s"$base/corpus-work", s"$base/delta2-work", Threshold)
+    assert(graft.lsh.BandIndex.exists(spark, idx.toString),
+      "index was not rebuilt after the simulated crash window")
+    val full = Pipeline.run(spark, toDF(rows), s"$base/full-work", Threshold)
+    assert(groupsOf(inc2) == groupsOf(full),
+      "self-healed chain diverged from batch")
+  }
+
   test("chained deltas: two sequential increments == one full batch run") {
     // round-1 ADVICE (high): a second delta must see the first delta's
     // signatures/components, not stale v0 state — otherwise ords collide
