@@ -27,5 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // fixed, pre-touched heap — standard executor practice (-Xms = -Xmx).
+  // Measured here (BASELINE.md round-5): lazy heap growth charges
+  // hypervisor first-touch faults to whichever stage grows the heap,
+  // doubling the 16-wide signature scan's per-image CPU time (46.4 s ->
+  // 26.4 s on the 120k bench corpus once pre-touched); the fault cost is
+  // host-window-dependent, so it also explained most wide-shot variance
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 )
 Test / parallelExecution := false

@@ -54,7 +54,12 @@ object Bench {
   private def runIsolated(cpus: Int, corpusDir: String, workDir: String,
                           reps: Int): (Long, Double, String) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cmd = Seq(javaBin, s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}") ++
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+    // -Xms=-Xmx + pre-touch: lazy heap growth charges hypervisor
+    // first-touch faults to the first heap-hungry stage (measured 2× on
+    // the 16-wide signature scan, BASELINE.md round-5) — real executors
+    // run fixed pre-touched heaps, so the children should too
+    val cmd = Seq(javaBin, s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch") ++
       Jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
