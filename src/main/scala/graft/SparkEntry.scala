@@ -63,6 +63,7 @@ object SparkEntry {
     "q_embed_near_dup" -> (TQ.qEmbedNearDup _),
     "q_substring_dup" -> (TQ.qSubstringDup _),
     "q_span_cuts" -> (TQ.qSpanCuts _),
+    "q_span_apply" -> (TQ.qSpanApply _),
     "q_suffix_ranks" -> (TQ.qSuffixRanks _),
     "q_suffix_dup_classes" -> (TQ.qSuffixDupClasses _),
     "q_suffix_lcp_pairs" -> (TQ.qSuffixLcpPairs _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_embed_near_dup" -> TQ.sqlEmbedNearDup(d),
     "q_substring_dup" -> TQ.sqlSubstringDup(d),
     "q_span_cuts" -> TQ.sqlSpanCuts(d),
+    "q_span_apply" -> TQ.sqlSpanApply(d),
     "q_suffix_ranks" -> TQ.sqlSuffixRanks(d),
     "q_suffix_dup_classes" -> TQ.sqlSuffixDupClasses(d),
     "q_suffix_lcp_pairs" -> TQ.sqlSuffixLcpPairs(d),
@@ -156,6 +158,7 @@ object SparkEntry {
     // raw blob column (group-by bytes — no hash recomputation needed)
     "q_img_sig_meta" -> IQ.sqlImgSigMeta(d),
     "q_img_exif" -> IQ.sqlImgExif(d),
+    "q_img_enriched" -> IQ.sqlImgEnriched(d),
     // search predicates re-evaluated over the exported enriched frame
     "q_img_search" -> IQ.sqlImgSearch(d)
   )

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
 
 /**
  * The image dedup pipeline itself, staged as driver-runnable queries over a
- * deterministic synthesized corpus (no SQL oracle — DuckDB can't decode
- * images; correctness is gated by the ScalaTest reference-semantics oracle,
- * PipelineSpec). The driver's rows>0 check still exercises every stage.
+ * deterministic synthesized corpus. DuckDB cannot decode images, so the
+ * oracles re-derive each stage from exported kernel tables (post-kernel
+ * stages), the raw input bytes (content classes, dims), or the generation
+ * truth sidecar (EXIF, enrichment — round 5 recomputes even the solar
+ * ephemeris in SQL); only the pixel-derived signature dump itself stays
+ * gated by the ScalaTest reference-semantics oracle (PipelineSpec).
  */
 object ImageQueries {
   private val NBases = 120L
@@ -90,13 +93,9 @@ object ImageQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/pvariants")
     sig.select(col("ord"), posexplode(col("minhash")).as(Seq("pos", "v")))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/minhash")
-    // enriched EXIF-derived frame: export only what SQL cannot re-derive
-    // (solar math + the kernel-parsed EXIF columns); country/subdivision/
-    // tz ARE re-derived in the oracle from lat/lon
-    enrichedOf(spark, sig)
-      .select(col("image_id"), col("orientation"), col("exif_ts"),
-        col("lat"), col("lon"), col("sun_azimuth"), col("sun_altitude"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/oracle/enriched")
+    // (the enriched frame needs no export since round 5: sqlImgEnriched
+    // re-derives every column — solar ephemeris included — from the truth
+    // sidecar and raw-table fmt alone)
     fs.create(marker, true).close()
   }
 
@@ -293,7 +292,6 @@ object ImageQueries {
   private def oVars = s"read_parquet('$corpusRoot/oracle/variants/*.parquet')"
   private def oPVars = s"read_parquet('$corpusRoot/oracle/pvariants/*.parquet')"
   private def oMinhash = s"read_parquet('$corpusRoot/oracle/minhash/*.parquet')"
-  private def oEnriched = s"read_parquet('$corpusRoot/oracle/enriched/*.parquet')"
   private def oImages = s"read_parquet('$corpusRoot/images/*/*.parquet')"
   private def oTruth = s"read_parquet('$corpusRoot/truth/*.parquet')"
 
@@ -469,24 +467,17 @@ object ImageQueries {
        SELECT comp, count(*)::BIGINT AS n, min(id) AS min_ord, max(id) AS max_ord
        FROM comps GROUP BY comp ORDER BY comp"""
 
-  /** §2.9 search oracle (round-4 VERDICT #5): the predicate evaluation —
-    * and the country derivation feeding it — re-expressed in SQL over the
-    * exported enriched table. The synth GPS grid never lands on a quadrant
-    * boundary (fractional .25/.5 offsets), so the fixture polygons' PiP
-    * reduces exactly to sign tests on lon/lat, which DuckDB re-derives
-    * independently of the Spark point-in-polygon path; the search query
-    * "alt:>0 country:contains:west orientation:2-8" becomes its literal
-    * WHERE clause. Only the solar math itself rides the exported columns
-    * (DuckDB has no ephemeris). */
+  /** §2.9 search oracle (round-4 VERDICT #5): the predicate evaluation
+    * re-expressed as a literal WHERE clause over the fully re-derived
+    * enrichment frame (round 5: sqlImgEnriched recomputes even the solar
+    * ephemeris in SQL, so no kernel column rides through). The synth GPS
+    * grid never lands on a quadrant boundary (fractional .25/.5 offsets),
+    * so the fixture polygons' PiP reduces exactly to the sign tests the
+    * enriched oracle uses; "alt:>0 country:contains:west orientation:2-8"
+    * becomes its literal WHERE clause. */
   def sqlImgSearch(dir: String): String =
-    s"""WITH e AS (SELECT *,
-         CASE WHEN lon < 0 AND lat > 0 THEN 'northwest'
-              WHEN lon > 0 AND lat > 0 THEN 'northeast'
-              WHEN lon < 0 THEN 'southwest'
-              ELSE 'southeast' END AS country
-         FROM $oEnriched)
-       SELECT image_id, orientation, country, sun_altitude
-       FROM e
+    s"""SELECT image_id, orientation, country, sun_altitude
+       FROM (${sqlImgEnriched(dir)}) e
        WHERE sun_altitude > 0 AND country LIKE '%west%'
          AND orientation BETWEEN 2 AND 8
        ORDER BY image_id"""
@@ -523,13 +514,17 @@ object ImageQueries {
     * hash — generation recipe, same role as the corpus path literal).
     * EXIF exists exactly where the encoder put it: jpg APP1, tiff IFD,
     * nef RAW container; png/gray-raw/pdf rows carry none. */
+  /** The synth variant→abs(hashCode) recipe, shared by the EXIF and
+    * enriched oracles (generation constant, same role as the corpus path
+    * literal embedded in every oracle). */
+  private def variantHashCase: String = Seq("orig", "exact", "recompress",
+    "resize", "rot90", "rot180", "rot270", "fliph", "flipv", "gray-raw",
+    "flat", "flatcopy", "bright", "contrast", "tiff16", "rawprev", "pdfwrap",
+    "crop5", "caption-dup", "unrelated")
+    .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
+
   def sqlImgExif(dir: String): String = {
-    val variants = Seq("orig", "exact", "recompress", "resize", "rot90",
-      "rot180", "rot270", "fliph", "flipv", "gray-raw", "flat", "flatcopy",
-      "bright", "contrast", "tiff16", "rawprev", "pdfwrap", "crop5",
-      "caption-dup", "unrelated")
-    val hashCase = variants
-      .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
+    val hashCase = variantHashCase
     s"""WITH t AS (
           SELECT image_id, group_id, CASE variant $hashCase END AS vh
           FROM $oTruth),
@@ -555,6 +550,64 @@ object ImageQueries {
                strftime(make_timestamp(epoch * 1000000),
                         '%Y:%m:%d %H:%M:%S') AS exif_str
         FROM e ORDER BY image_id"""
+  }
+
+  /** q_img_enriched oracle (round 5): the FULL P17/P18 enrichment frame
+    * re-derived in DuckDB with no kernel inputs at all — lat/lon/epoch/
+    * orientation from the truth-sidecar arithmetic (the same recipe the
+    * passing q_img_exif oracle proves the kernel's byte-level parse
+    * against), country/subdivision/tz as the sign/band/solar-offset rules,
+    * and sun azimuth/altitude by re-computing the NOAA low-accuracy solar
+    * position (Meeus ch. 25 — public formulas, Geo.sunPosition) in SQL:
+    * DuckDB has the trig, and both sides round to 4 decimals, far above
+    * the ~1e-12° libm evaluation differences. The CASE chain mirrors
+    * Geo.sunPosition's hour-angle normalization loop (ha starts in
+    * (-2π, 4π): two >π steps, one <-π step). */
+  def sqlImgEnriched(dir: String): String = {
+    val hashCase = variantHashCase
+    s"""WITH t AS (
+          SELECT image_id, group_id, CASE variant $hashCase END AS vh
+          FROM $oTruth),
+        base AS (
+          SELECT i.image_id,
+                 ((t.vh % 8) + 1)::INT AS orientation,
+                 (1500000000 + t.group_id * 86400 + (t.vh % 86400))::BIGINT AS exif_ts,
+                 -60.0 + (t.group_id % 120) + 0.25 AS lat,
+                 -150.0 + ((t.group_id * 7) % 300) + 0.5 AS lon
+          FROM $oImages i JOIN t ON t.image_id = i.image_id
+          WHERE i.fmt IN ('jpg','tiff','nef')),
+        s1 AS (SELECT *, (exif_ts / 86400.0 + 2440587.5) - 2451545.0 AS d FROM base),
+        s2 AS (SELECT *, radians((357.529 + 0.98560028 * d) % 360) AS g,
+                         (280.459 + 0.98564736 * d) % 360 AS q FROM s1),
+        s3 AS (SELECT *, radians(q + 1.915 * sin(g) + 0.020 * sin(2 * g)) AS l,
+                         radians(23.439 - 0.00000036 * d) AS e FROM s2),
+        s4 AS (SELECT *, atan2(cos(e) * sin(l), cos(l)) AS ra,
+                         asin(sin(e) * sin(l)) AS dec,
+                         (18.697374558 + 24.06570982441908 * d) % 24 AS gmst FROM s3),
+        s5 AS (SELECT *, radians((gmst + lon / 15.0) * 15) - ra AS ha0 FROM s4),
+        s6 AS (SELECT *, CASE WHEN ha0 > pi() THEN ha0 - 2 * pi() ELSE ha0 END AS ha1 FROM s5),
+        s7 AS (SELECT *, CASE WHEN ha1 > pi() THEN ha1 - 2 * pi() ELSE ha1 END AS ha2 FROM s6),
+        s8 AS (SELECT *, CASE WHEN ha2 < -pi() THEN ha2 + 2 * pi() ELSE ha2 END AS ha,
+                         radians(lat) AS latr FROM s7),
+        s9 AS (SELECT *,
+                 asin(sin(latr) * sin(dec) + cos(latr) * cos(dec) * cos(ha)) AS alt,
+                 atan2(-sin(ha), tan(dec) * cos(latr) - sin(latr) * cos(ha)) AS az FROM s8)
+        SELECT image_id, orientation, exif_ts,
+               ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon,
+               CASE WHEN lon < 0 AND lat > 0 THEN 'northwest'
+                    WHEN lon > 0 AND lat > 0 THEN 'northeast'
+                    WHEN lon < 0 THEN 'southwest'
+                    ELSE 'southeast' END AS country,
+               (CASE WHEN lon < 0 AND lat > 0 THEN 'northwest'
+                     WHEN lon > 0 AND lat > 0 THEN 'northeast'
+                     WHEN lon < 0 THEN 'southwest'
+                     ELSE 'southeast' END) || ':' ||
+                 (CASE WHEN abs(lat) < 30.0 THEN 'tropic' ELSE 'temperate' END)
+                 AS subdivision,
+               CAST(ROUND(lon / 15.0, 0) AS INT) AS tz_offset_hours,
+               ROUND((degrees(az) + 360) % 360, 4) AS sun_azimuth,
+               ROUND(degrees(alt), 4) AS sun_altitude
+        FROM s9 ORDER BY image_id"""
   }
 
   def qImgDecodeMeta(spark: SparkSession, dir: String): DataFrame = {

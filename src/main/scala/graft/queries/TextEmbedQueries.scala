@@ -661,6 +661,89 @@ object TextEmbedQueries {
        FROM islands GROUP BY doc_id, island ORDER BY doc_id, cut_start"""
 
   // =========================================================================
+  // Span-removal APPLY (round 5) — the transform a training-data pipeline
+  // actually runs with the cut manifest: excise every [cut_start, cut_end]
+  // range from its document and emit the cleaned corpus (Lee et al. 2022
+  // §4 applies ExactSubstr's byte ranges the same way; the text analog of
+  // FileOps applying Groups.keepList). Spark shape: cuts fold per document
+  // — sort_array + one `aggregate` lambda walking the ranges left to right,
+  // linear per doc, no per-character explode anywhere. The greatest() guards
+  // make the excision the range-UNION, so the fold stays correct for any
+  // (stride, len) combination whose islands can overlap (at the defaults
+  // 16/32 islands only ever touch: window gaps are stride multiples ≥ len).
+  // =========================================================================
+  def spanApply(docs: DataFrame): DataFrame = {
+    val cuts = spanCuts(docs)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("cut_start"), col("cut_end"))))
+        .as("cuts"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cleaned", when(col("cuts").isNull, col("text")).otherwise(
+        expr("""aggregate(cuts,
+                  named_struct('s', '', 'p', 1L),
+                  (a, c) -> named_struct(
+                    's', concat(a.s, substring(text, CAST(a.p AS INT),
+                           GREATEST(CAST(c.cut_start - a.p AS INT), 0))),
+                    'p', GREATEST(c.cut_end + 1L, a.p)),
+                  a -> concat(a.s, substring(text, CAST(a.p AS INT),
+                         length(text))))""")))
+      .select(col("doc_id"),
+        coalesce(size(col("cuts")), lit(0)).cast("long").as("n_cuts"),
+        length(col("text")).cast("long").as("orig_len"),
+        length(col("cleaned")).cast("long").as("kept_len"),
+        col("cleaned"))
+      .orderBy("doc_id")
+  }
+  def qSpanApply(spark: SparkSession, dir: String): DataFrame =
+    spanApply(rd(spark, dir, "documents"))
+  /** Oracle: per-character exclusion against the same cut CTE — a char
+    * survives iff no cut range covers it (the range-union semantics,
+    * immune to island overlap by construction). O(chars) is oracle-only
+    * brute force, like every other brute-force oracle here. */
+  def sqlSpanApply(dir: String): String =
+    s"""WITH wins AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS pos,
+         md5(substr(text, i::INT, $SpanLen)) AS h
+         FROM documents, range(1, 4001, $SpanStride) r(i)
+         WHERE len(text) >= $SpanLen AND i <= len(text) - ${SpanLen - 1}),
+       keepers AS (SELECT h, min(doc_id * 1000000 + pos) AS kcode
+         FROM wins GROUP BY h HAVING count(*) > 1),
+       cutw AS (SELECT w.doc_id, w.pos
+         FROM wins w JOIN keepers k ON k.h = w.h
+         WHERE w.doc_id * 1000000 + w.pos <> k.kcode),
+       marked AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanStride
+                THEN 0 ELSE 1 END AS brk
+         FROM cutw),
+       islands AS (SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM marked),
+       cuts AS (SELECT doc_id, min(pos) AS cut_start,
+           max(pos) + ${SpanLen - 1} AS cut_end
+         FROM islands GROUP BY doc_id, island),
+       chars AS (SELECT d.doc_id::BIGINT AS doc_id, i,
+           substr(d.text, i::INT, 1) AS ch
+         FROM documents d, range(1, 4001) r(i) WHERE i <= len(d.text)),
+       kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+         WHERE NOT EXISTS (SELECT 1 FROM cuts k
+           WHERE k.doc_id = c.doc_id AND c.i BETWEEN k.cut_start AND k.cut_end)),
+       cleaned AS (SELECT doc_id,
+           coalesce(string_agg(ch, '' ORDER BY i), '') AS cleaned
+         FROM kept GROUP BY doc_id),
+       ncuts AS (SELECT doc_id, count(*)::BIGINT AS n_cuts FROM cuts GROUP BY doc_id)
+       SELECT d.doc_id::BIGINT AS doc_id,
+         coalesce(n.n_cuts, 0)::BIGINT AS n_cuts,
+         len(d.text)::BIGINT AS orig_len,
+         len(CASE WHEN n.n_cuts IS NULL THEN d.text
+                  ELSE coalesce(c.cleaned, '') END)::BIGINT AS kept_len,
+         CASE WHEN n.n_cuts IS NULL THEN d.text
+              ELSE coalesce(c.cleaned, '') END AS cleaned
+       FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+            LEFT JOIN ncuts n ON n.doc_id = d.doc_id
+       ORDER BY doc_id"""
+
+  // =========================================================================
   // Embedding near-dup pairs: exact integer cosine² threshold within buckets
   // =========================================================================
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -105,6 +105,29 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 64L, 3L, 1L), (4L, 65L, 128L, 3L, 4L)))
   }
 
+  test("span apply: cuts excised, keep-first copy survives, full-cut doc empties") {
+    import spark.implicits._
+    def s64(mult: Int, off: Int): String =
+      (0 until 64).map(i => ('a' + (i * mult + off) % 26).toChar).mkString
+    val S = s64(7, 0); val A = s64(11, 3); val B = s64(17, 5)
+    val T = s64(23, 1); val U = s64(3, 9) + s64(9, 2)
+    val docs = Seq(
+      (1L, S + A), // canonical copy of S — survives intact
+      (2L, S + B), // S's windows cut → only B remains
+      (3L, U),     // all unique — untouched
+      (4L, T + T), // within-doc repeat: second T excised
+      (5L, S)      // every window duplicated → empties completely
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextEmbedQueries.spanApply(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((0L, 128L, 128L, S + A)))
+    assert(got(2L) == ((1L, 128L, 64L, B)))
+    assert(got(3L) == ((0L, 128L, 128L, U)))
+    assert(got(4L) == ((1L, 128L, 64L, T)))
+    assert(got(5L) == ((1L, 64L, 0L, "")))
+  }
+
   test("search query parser: ops, ranges, implicit contains") {
     val cs = SearchQuery.parse("size:10-30 name:contains:red iso:1600- f:>2.8 make:Canon")
     assert(cs.map(c => (c.tag, c.op)) == Seq(
