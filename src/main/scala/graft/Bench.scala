@@ -200,19 +200,37 @@ object Bench {
     // would silently time all five shots against a partial corpus. A
     // fresh copy per run also can't go stale when the disk corpus is
     // regenerated; staging from page cache costs ~10-20 s.
+    // reap staged corpora left by CRASHED runs first: the names are
+    // pid-unique, so a kill -9 mid-shot leaves ~7 GB pinned in shm that
+    // no later run's own rm would ever name — accumulate a few and the
+    // usable-space gate below silently falls back to the disk corpus,
+    // unmeasuring exactly what the staging exists to control
+    Option(shmBase.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"graft-bench-corpus-$BenchBases-run"))
+      .foreach(f => new ProcessBuilder("rm", "-rf", f.getAbsolutePath)
+        .start().waitFor())
     val corpusForShots =
       if (shmBase.isDirectory && shmBase.canWrite &&
         shmBase.getUsableSpace > 32L * 1024 * 1024 * 1024) {
         val dst = s"/dev/shm/graft-bench-corpus-$BenchBases-run${ProcessHandle.current().pid()}"
-        new ProcessBuilder("rm", "-rf", dst).start().waitFor()
         val stage = s"$dst.partial"
-        new ProcessBuilder("rm", "-rf", stage).start().waitFor()
         val rc = new ProcessBuilder("cp", "-r", corpusDir, stage).start().waitFor()
         val mv = if (rc == 0)
           new ProcessBuilder("mv", stage, dst).start().waitFor() else -1
         if (mv == 0 && new java.io.File(s"$dst/images/_SUCCESS").exists()) dst
         else { new ProcessBuilder("rm", "-rf", stage, dst).start().waitFor(); corpusDir }
       } else corpusDir
+    // tmpfs hygiene: shutdown hook instead of end-of-main cleanup, so a
+    // crashed or SIGTERM'd run releases its multi-GB shm footprint too
+    // (kill -9 is covered by the startup reap above)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+        if (corpusForShots != corpusDir)
+          new Directory(new java.io.File(corpusForShots)).deleteRecursively()
+      } catch { case scala.util.control.NonFatal(_) => }
+    }))
     val shots = Seq(4 -> "n1", 16 -> "m1", 4 -> "n2", 16 -> "m2", 16 -> "m3")
     val shotResults = shots.map { case (c, tag) =>
       // bounded healthy-window wait: starvation bursts often pass within
@@ -258,10 +276,14 @@ object Bench {
     // rounds behind its _SUCCESS marker); a `_mix` sidecar written at
     // generation time wins over the legacy hardcoded description
     val mixFile = new java.io.File(s"$corpusDir/_mix")
-    val mix =
+    val mixRaw =
       if (mixFile.isFile)
         new String(java.nio.file.Files.readAllBytes(mixFile.toPath)).trim
       else "synth rowsForBase r3: ~10% flat, ~20% unrelated, ~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 + ~10% raw-preview"
+    // the sidecar is free-form text spliced into a JSON string literal —
+    // escape it or one quote/backslash corrupts the whole BENCH record
+    val mix = mixRaw.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\r\\n\\t]", " ")
     val corpusMeta = s"""{"bases":$BenchBases,"images":$n32,""" +
       s""""mix":"$mix"}"""
     val shotJson = shotResults.map { case (c, (_, s, _), l, canary) =>
@@ -273,12 +295,5 @@ object Bench {
       s""""shots":$shotJson}"""
     val stagesJson = s"""{"local4":$stages8,"local16":$stages32}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"stages":$stagesJson,"corpus":$corpusMeta,"loadavg":$load}""")
-    // tmpfs hygiene: the per-shot work dirs and staged corpus live in shm
-    try {
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(tmp)).deleteRecursively()
-      if (corpusForShots != corpusDir)
-        new Directory(new java.io.File(corpusForShots)).deleteRecursively()
-    } catch { case scala.util.control.NonFatal(_) => }
   }
 }

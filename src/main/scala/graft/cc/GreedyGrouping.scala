@@ -72,7 +72,11 @@ object GreedyGrouping {
           nEdgesHint: Long = -1): DataFrame = {
     if (nEdgesHint >= 0 && nEdgesHint <= driverPathMaxEdges) {
       import spark.implicits._
-      val pairs = edges.select(col("a"), col("b")).as[(Long, Long)].collect()
+      // the hint bounds DISTINCT edges, so dedup before collecting — the
+      // raw frame may carry arbitrary duplication the hint says nothing
+      // about, and the driver must only ever hold the distinct set
+      val pairs = edges.select(col("a"), col("b")).distinct()
+        .as[(Long, Long)].collect()
       return spark.createDataset(sequential(pairs).toSeq).toDF("id", "grp")
         .repartition(spark.sessionState.conf.numShufflePartitions)
     }

@@ -111,7 +111,10 @@ object FileOps {
       return OpResult(rawPath, "refused", ok = false, "",
         s"outside allowed root $root")
     try {
-      if (!Files.exists(src))
+      // NOFOLLOW: a dangling symlink is a present directory entry the op
+      // must still act on (delete/move the LINK) — Files.exists would
+      // follow it, report absent, and leave the entry behind forever
+      if (!Files.exists(src, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         OpResult(rawPath, "already_absent", ok = true, "", "")
       else if (dryRun)
         OpResult(rawPath, if (isDelete) "would_delete" else "would_move",
@@ -153,10 +156,15 @@ object FileOps {
   private[graft] def fitName(name: String): String = {
     if (name.getBytes("UTF-8").length <= MaxNameBytes) return name
     val dot = name.lastIndexOf('.')
-    val (stem, ext) = if (dot > 0) (name.substring(0, dot), name.substring(dot))
+    val (stem0, ext0) = if (dot > 0) (name.substring(0, dot), name.substring(dot))
       else (name, "")
-    val extBytes = ext.getBytes("UTF-8").length
-    val budget = math.max(1, MaxNameBytes - extBytes)
+    // an extension that alone (nearly) exhausts NAME_MAX cannot be
+    // preserved — truncate the whole name instead, or the result would
+    // still exceed the limit and every move would ENAMETOOLONG forever
+    val (stem, ext) =
+      if (ext0.getBytes("UTF-8").length >= MaxNameBytes) (name, "")
+      else (stem0, ext0)
+    val budget = math.max(1, MaxNameBytes - ext.getBytes("UTF-8").length)
     var cut = math.min(stem.length, budget)
     while (stem.substring(0, cut).getBytes("UTF-8").length > budget) cut -= 1
     stem.substring(0, cut) + ext

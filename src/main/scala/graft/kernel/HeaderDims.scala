@@ -66,8 +66,7 @@ object HeaderDims {
       else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
         isobmffIspe(b)
       else if (b(4) == 'J' && b(5) == 'X' && b(6) == 'L' && b(7) == ' ') jxl(b)
-      else if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F')
-        pdfMediaBox(b)
+      else if (PdfImages.looksPdf(b)) pdfMediaBox(b) // incl. 1 KiB junk rule
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -289,8 +288,10 @@ object HeaderDims {
   /** First /MediaBox [x0 y0 x1 y1], reported at the decode tier's 2× render
     * scale (scanner.rs:553-708 renders page 1 at 2.0). */
   private def pdfMediaBox(b: Array[Byte]): Option[(Int, Int)] = {
-    if (b.length < 8 || b(0) != '%' || b(1) != 'P' || b(2) != 'D' || b(3) != 'F')
-      return None
+    // same leading-junk rule as the decode tier (ISO 32000 §7.5.2 allows
+    // %PDF- anywhere in the first 1 KiB): the probe must accept exactly
+    // the files PdfImages.looksPdf accepts, or S7 and S4 disagree
+    if (!PdfImages.looksPdf(b)) return None
     val s = new String(b, "ISO-8859-1")
     val k = s.indexOf("/MediaBox")
     if (k < 0) return None

@@ -147,7 +147,15 @@ object ImageCodec {
               if (ex.sawCorrupt) (None, StatusError) // raster present, bytes bad
               else if (ex.sawCodecless || PdfImages.looksPdf(bytes))
                 (None, StatusUnsupported) // JPX/… or rasterless page
-              else (None, StatusError) // not even a PDF under a pdf label
+              else {
+                // not a PDF at all — same S5 sniff every tier gets for
+                // mislabeled bytes (a PNG under a pdf label must decode,
+                // exactly as PDF bytes under a png label route here);
+                // true junk still lands `error`
+                val img = ImageIO.read(new ByteArrayInputStream(bytes))
+                if (img != null) (Some(fromBuffered(img)), StatusOk)
+                else (None, StatusError)
+              }
           }
         // generic guessed-format fallback (S5, scanner.rs:713-735): ImageIO
         // sniffs the actual magic bytes regardless of the claimed fmt, so a

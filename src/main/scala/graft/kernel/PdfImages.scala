@@ -183,14 +183,35 @@ object PdfImages {
   /** Integer value: direct (`/Width 640`) or a simple indirect reference
     * (`/Width 7 0 R`) resolved by scanning for `7 0 obj <int>`. */
   private def intValue(whole: String, dict: String, key: String): Option[Int] = {
-    val direct = ("/" + key + "\\s+(\\d+)(?!\\s+\\d+\\s+R)").r
+    // Indirect FIRST, and the direct digits possessive (`\d++`): a
+    // backtracking `(\d+)` would shrink its capture on "/Width 10 0 R"
+    // until the negative lookahead passed (capturing 1 from "10"), so a
+    // multi-digit object number parsed as a truncated literal. With the
+    // possessive match an indirect reference can only resolve via the
+    // object scan — and an unresolvable one yields None, never a guess.
+    val direct = ("/" + key + "\\s+(\\d++)(?!\\s+\\d+\\s+R)").r
     val indirect = ("/" + key + "\\s+(\\d+)\\s+(\\d+)\\s+R").r
-    direct.findFirstMatchIn(dict).map(_.group(1).toInt).orElse {
-      indirect.findFirstMatchIn(dict).flatMap { m =>
-        val pat = ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) +
-          "\\s+obj\\s+(\\d+)").r
-        pat.findFirstMatchIn(whole).map(_.group(1).toInt)
-      }
+    indirect.findFirstMatchIn(dict).flatMap { m =>
+      val pat = ("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) +
+        "\\s+obj\\s+(\\d+)").r
+      pat.findFirstMatchIn(whole).map(_.group(1).toInt)
+    }.orElse(direct.findFirstMatchIn(dict).map(_.group(1).toInt))
+  }
+
+  /** The text to scan for predictor parameters: the inline
+    * `/DecodeParms <<…>>` (or array) body when present, an empty string
+    * when the stream carries no parms at all (defaults apply), or the
+    * resolved object body for an indirect `/DecodeParms N G R` — None
+    * when that reference is present but unresolvable. */
+  private def predictorParams(dict: String, whole: String): Option[String] = {
+    "/DecodeParms\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        val pat = ("(?s)(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) +
+          "\\s+obj\\b(.*?)endobj").r
+        pat.findFirstMatchIn(whole).map(_.group(1))
+      case None =>
+        "(?s)/DecodeParms\\s*(<<.*?>>|\\[.*?\\])".r.findFirstMatchIn(dict)
+          .map(_.group(1)).orElse(Some(""))
     }
   }
 
@@ -254,14 +275,19 @@ object PdfImages {
         case "RunLengthDecode" => data = runLength(data)
         case "FlateDecode" =>
           data = inflate(data)
-          val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+          // /DecodeParms may be an indirect reference; an unresolvable
+          // one means the predictor is UNKNOWN — decoding the samples
+          // raw would be silently wrong, so that is `unsupported`, the
+          // same never-fall-through contract as /Filter
+          val ptext = predictorParams(dict, whole).getOrElse(throw new NoCodec)
+          val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(ptext)
             .map(_.group(1).toInt).getOrElse(1)
           if (pred >= 2) {
-            val colors = "/Colors\\s+(\\d+)".r.findFirstMatchIn(dict)
+            val colors = "/Colors\\s+(\\d+)".r.findFirstMatchIn(ptext)
               .map(_.group(1).toInt).getOrElse(1)
-            val pbpc = "(?s)/DecodeParms.*?/BitsPerComponent\\s+(\\d+)".r
-              .findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(8)
-            val cols = "/Columns\\s+(\\d+)".r.findFirstMatchIn(dict)
+            val pbpc = "/BitsPerComponent\\s+(\\d+)".r
+              .findFirstMatchIn(ptext).map(_.group(1).toInt).getOrElse(8)
+            val cols = "/Columns\\s+(\\d+)".r.findFirstMatchIn(ptext)
               .map(_.group(1).toInt).getOrElse(w)
             data = if (pred >= 10) pngUnpredict(data, cols, colors, pbpc)
             else tiffUnpredict(data, cols, colors, pbpc)

@@ -50,14 +50,19 @@ object MaintenanceCli {
         // operating threshold: the MAX of the explicit arg (or algorithm
         // default) and the chain's recorded high-water mark — a mistyped
         // low CLI arg must not widen an index that real runs probe at a
-        // threshold the wide masks cannot serve (32-bit caps at 31)
+        // threshold the wide masks cannot serve (32-bit caps at 31).
+        // A corpus with NO recorded hwm (batch-built, never incremented)
+        // contributes nothing to the max: the explicit arg is then the
+        // only statement of the operating threshold and must be honored
+        // (hwm.getOrElse(default) would silently override it and make
+        // widening unreachable until an incremental run happened by).
         val algo = BandIndex.algoOf(spark, indexPath)
         val default =
           if (algo == BandIndex.AlgoPhash64)
             graft.lsh.BandJoin64.DefaultThreshold
           else Pipeline.DefaultThreshold
-        val thr = math.max(thresholdArg.getOrElse(default),
-          CorpusState.hwm(spark, corpusWork, s"thr_hwm_$algo").getOrElse(default))
+        val hwm = CorpusState.hwm(spark, corpusWork, s"thr_hwm_$algo")
+        val thr = math.max(thresholdArg.getOrElse(default), hwm.getOrElse(0))
         val widened = BandIndex.maybeWiden(spark, indexPath, curSig, thr)
         val segs = new java.io.File(indexPath).listFiles()
           .map(_.getName).count(_.startsWith("seg_"))

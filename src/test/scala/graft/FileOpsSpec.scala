@@ -100,5 +100,24 @@ class FileOpsSpec extends AnyFunSuite {
     assert(fitted.getBytes("UTF-8").length <= 255)
     assert(fitted.endsWith(".jpeg"))
     assert(FileOps.fitName("short.jpg") == "short.jpg")
+    // an extension that alone exceeds NAME_MAX can't be preserved — the
+    // whole name truncates instead of emitting a still-too-long result
+    val longExt = FileOps.fitName("a." + "y" * 300)
+    assert(longExt.getBytes("UTF-8").length <= 255)
+    // multi-byte chars never split mid-codepoint
+    val multi = FileOps.fitName("é" * 200 + ".jpg")
+    assert(multi.getBytes("UTF-8").length <= 255 && multi.endsWith(".jpg"))
+  }
+
+  test("dangling symlink is a present entry: deleted, not already_absent") {
+    val (root, _) = fixture(0)
+    val target = root.resolve("gone.jpg")
+    val link = root.resolve("link.jpg")
+    Files.createSymbolicLink(link, target) // target never exists
+    val manifest = Seq((link.toString, false)).toDF("path", "keep")
+    val res = FileOps.applyManifest(manifest, FileOps.ModeDelete,
+      root.toString, dryRun = false).collect()
+    assert(res.head.action == "deleted" && res.head.ok)
+    assert(!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
   }
 }

@@ -78,6 +78,59 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(status == "ok" && dec.get.w == 24 && dec.get.h == 10)
   }
 
+  test("indirect refs with MULTI-DIGIT object numbers resolve (regex must not backtrack '10 0 R' into width 1)") {
+    val img = gradient(24, 10)
+    val pdf = ("%PDF-1.5\n12 0 obj 24\nendobj\n130 0 obj 10\nendobj\n" +
+      "4 0 obj\n<< /Subtype /Image /Width 12 0 R /Height 130 0 R " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 15 /Colors 3 /Columns 24 >> >>\nstream\n" +
+      new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+      "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    val (dec, status) = ImageCodec.decodeWithStatus(pdf, "pdf", 0, 0)
+    assert(status == "ok" && dec.get.w == 24 && dec.get.h == 10)
+    assert(dec.get.argb.sameElements(img.argb))
+  }
+
+  test("indirect /DecodeParms resolves; unresolvable one is unsupported, never raw-decoded") {
+    val img = gradient(24, 10)
+    def pdf(parmsRef: String, parmsObj: String) =
+      ("%PDF-1.5\n" + parmsObj +
+        "4 0 obj\n<< /Subtype /Image /Width 24 /Height 10 " +
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+        s"/DecodeParms $parmsRef >>\nstream\n" +
+        new String(PdfImages.flateRgbPayload(img), ISO_8859_1) +
+        "\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    // resolvable: predictor params live in their own object
+    val ok = pdf("9 0 R",
+      "9 0 obj\n<< /Predictor 15 /Colors 3 /Columns 24 >>\nendobj\n")
+    val (dec, status) = ImageCodec.decodeWithStatus(ok, "pdf", 0, 0)
+    assert(status == "ok" && dec.get.argb.sameElements(img.argb))
+    // unresolvable: the predictor is unknown — decoding the samples raw
+    // would be silently wrong pixels, so the tier must refuse
+    val (dec2, status2) =
+      ImageCodec.decodeWithStatus(pdf("99 0 R", ""), "pdf", 0, 0)
+    assert(dec2.isEmpty && status2 == "unsupported")
+  }
+
+  test("mislabeled decodable bytes under a pdf label get the S5 sniff (PNG decodes; junk stays error)") {
+    val img = gradient(20, 14)
+    val png = ImageCodec.encodePng(img)
+    val (dec, status) = ImageCodec.decodeWithStatus(png, "pdf", 20, 14)
+    assert(status == "ok" && dec.get.argb.sameElements(img.argb))
+    val (dec2, status2) = ImageCodec.decodeWithStatus(
+      Array.tabulate[Byte](64)(i => (i * 7).toByte), "pdf", 0, 0)
+    assert(dec2.isEmpty && status2 == "error")
+  }
+
+  test("header probe honors the 1 KiB leading-junk rule like the decode tier") {
+    val img = gradient(57, 43)
+    val pdf = PdfImages.encodeImagePdf(
+      ImageCodec.encodeJpeg(img, 0.9f), 57, 43, "DCTDecode")
+    val junk = ("% junk prologue\n" * 3).getBytes(ISO_8859_1) ++ pdf
+    assert(PdfImages.extract(junk).image.isDefined) // decode tier accepts
+    assert(HeaderDims.probe(junk, "pdf").contains((57, 43))) // probe must too
+  }
+
   test("1-bit bilevel gray (scanned-document shape)") {
     // 10×4, rows packed MSB-first, padded to byte boundary: vertical bars
     val w = 10; val h = 4
