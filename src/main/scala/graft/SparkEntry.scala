@@ -64,6 +64,7 @@ object SparkEntry {
     "q_substring_dup" -> (TQ.qSubstringDup _),
     "q_span_cuts" -> (TQ.qSpanCuts _),
     "q_span_apply" -> (TQ.qSpanApply _),
+    "q_doc_dup_groups" -> (TQ.qDocDupGroups _),
     "q_suffix_ranks" -> (TQ.qSuffixRanks _),
     "q_suffix_dup_classes" -> (TQ.qSuffixDupClasses _),
     "q_suffix_lcp_pairs" -> (TQ.qSuffixLcpPairs _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_substring_dup" -> TQ.sqlSubstringDup(d),
     "q_span_cuts" -> TQ.sqlSpanCuts(d),
     "q_span_apply" -> TQ.sqlSpanApply(d),
+    "q_doc_dup_groups" -> TQ.sqlDocDupGroups(d),
     "q_suffix_ranks" -> TQ.sqlSuffixRanks(d),
     "q_suffix_dup_classes" -> TQ.sqlSuffixDupClasses(d),
     "q_suffix_lcp_pairs" -> TQ.sqlSuffixLcpPairs(d),

@@ -127,6 +127,62 @@ object TextEmbedQueries {
        ORDER BY a, b"""
 
   // =========================================================================
+  // Doc-level near-dup GROUPS + keep flags (round 5) — the text analog of
+  // the image pipeline's components→groups→keepList: connected components
+  // over the verified MinHash pairs, min-doc_id keeper per group, every
+  // corpus document in the output (singletons keep themselves). This is
+  // the row a dedup job actually filters on at 100 TB: CC is the same
+  // large-star/small-star used for images (O(log n) rounds), group stats
+  // are groupBy+join (no per-group windows).
+  // =========================================================================
+  def qDocDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashBandPairs(spark, dir).select(col("a"), col("b"))
+    val comps = graft.cc.ConnectedComponents.run(spark, pairs)
+    val docs = rd(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val g = docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("grp"))
+    val stats = g.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("group_size"),
+        min("doc_id").as("keeper"))
+    g.join(stats, "grp")
+      .select(col("doc_id"), col("grp"), col("group_size"),
+        (col("doc_id") === col("keeper")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+  def sqlDocDupGroups(dir: String): String =
+    s"""WITH RECURSIVE ${sqlMinhashCte(dir)},
+       banded AS (SELECT doc_id, (seed // 2) AS band,
+           md5(string_agg(seed::VARCHAR || '=' || minh::VARCHAR,
+             '|' ORDER BY seed::VARCHAR || '=' || minh::VARCHAR)) AS band_key
+         FROM mh GROUP BY doc_id, (seed // 2)),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       pairs AS (SELECT cand.a, cand.b
+         FROM cand JOIN mh ma ON ma.doc_id = cand.a JOIN mh mb
+           ON mb.doc_id = cand.b AND mb.seed = ma.seed
+         GROUP BY cand.a, cand.b
+         HAVING (sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) * 1000
+           // $NumSeeds) >= 250),
+       sym AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b, a FROM pairs),
+       walk(n, c) AS (
+         SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         UNION
+         SELECT sym.dst, walk.c FROM walk JOIN sym ON sym.src = walk.n),
+       comps AS (SELECT n AS id, min(c) AS comp FROM walk GROUP BY n),
+       alldocs AS (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents),
+       g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+         FROM alldocs d LEFT JOIN comps c ON c.id = d.doc_id),
+       stats AS (SELECT grp, count(*)::BIGINT AS group_size,
+           min(doc_id) AS keeper FROM g GROUP BY grp)
+       SELECT g.doc_id, g.grp, stats.group_size,
+         (CASE WHEN g.doc_id = stats.keeper THEN 1 ELSE 0 END)::INT AS keep
+       FROM g JOIN stats USING (grp)
+       ORDER BY g.doc_id"""
+
+  // =========================================================================
   // SimHash (16-bit, md5-nibble parities over whitespace tokens)
   // =========================================================================
   private def tokens(spark: SparkSession, dir: String): DataFrame =
