@@ -51,6 +51,9 @@ object Exif {
    *  - RAW (NEF/DNG/CR2/ARW/…): TIFF-based containers — parse at offset
    *    0; non-TIFF RAW falls back to scanning for an embedded "Exif\0\0"
    *    block (the in-preview APP1)
+   *  - HEIC/HEIF/AVIF/JXL: ISOBMFF box walk ([[Isobmff.exif]]) — the HEIF
+   *    'Exif' meta-item or the JXL container's Exif box; the pixel codec
+   *    is env-blocked, the metadata layout is public bytes (round 5)
    *  - anything else: sniff the magic bytes and use whichever applies
    */
   def fromBytes(bytes: Array[Byte], fmt: String): Option[ExifData] = {
@@ -60,6 +63,9 @@ object Exif {
     fmt.toLowerCase match {
       case "jpg" | "jpeg" => fromJpeg(bytes)
       case "tiff" | "tif" => tiffAt0
+      // ISOBMFF containers (HEIC/AVIF Exif item, JXL-container Exif box):
+      // the pixel tier is env-blocked but the metadata is plain box layout
+      case "heic" | "heif" | "avif" | "jxl" => Isobmff.exif(bytes)
       case f if ImageCodec.RawFormats(f) =>
         if (isTiffHeader) tiffAt0.orElse(scanEmbeddedExif(bytes))
         else scanEmbeddedExif(bytes)
@@ -67,6 +73,7 @@ object Exif {
         if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
           fromJpeg(bytes)
         else if (isTiffHeader) tiffAt0
+        else if (Isobmff.looksIsobmff(bytes)) Isobmff.exif(bytes)
         else None
     }
   }

@@ -85,8 +85,11 @@ final case class DecodedImage(w: Int, h: Int, argb: Array[Int],
  * renderer-free analog of the RAW preview trick; text/vector-only pages
  * and JPX/JBIG2/CCITT streams stay `unsupported`.
  *
- * Still stubbed (codecs absent in this container): JXL, HEIC
+ * Pixel tier still stubbed (codecs absent in this container): JXL, HEIC
  * (scanner.rs:553-708) — reported as `unsupported`, distinct from `error`.
+ * Their METADATA tiers are real: header dims via [[HeaderDims]] (JXL
+ * SizeHeader / ISOBMFF ispe) and EXIF via [[Isobmff.exif]] (HEIF Exif
+ * item, JXL-container Exif box) — round 5.
  */
 object ImageCodec {
   // in-memory ImageInputStreams: the default file-backed cache serializes

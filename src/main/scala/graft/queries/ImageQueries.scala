@@ -27,9 +27,11 @@ object ImageQueries {
     * The vN suffix versions corpus + kernel schema: bump it when Signature
     * gains columns or Synth output changes (v5: TIFF/RAW EXIF fixtures +
     * RGBA16 pixel hash; v6: pdfwrap variant class — PDF XObject decode
-    * tier, DCT + Flate/predictor payloads). */
+    * tier, DCT + Flate/predictor payloads; v7: heicmeta variant class —
+    * ISOBMFF metadata shell, ispe dims + Exif item, both iloc
+    * construction methods). */
   def corpusRoot: String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v6"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v7"
 
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
@@ -475,9 +477,16 @@ object ImageQueries {
     * so the fixture polygons' PiP reduces exactly to the sign tests the
     * enriched oracle uses; "alt:>0 country:contains:west orientation:2-8"
     * becomes its literal WHERE clause. */
+  /** MATERIALIZED is load-bearing, not style: without it DuckDB inlines
+    * the 9-layer solar CTE chain under the outer predicates and the
+    * hour-angle CASE layers (each referencing the prior layer twice)
+    * expand exponentially — measured ~63k process mappings, right at the
+    * kernel's vm.max_map_count, failing the whole compare run
+    * order-dependently. Materializing the 77-row frame costs nothing. */
   def sqlImgSearch(dir: String): String =
-    s"""SELECT image_id, orientation, country, sun_altitude
-       FROM (${sqlImgEnriched(dir)}) e
+    s"""WITH e AS MATERIALIZED (${sqlImgEnriched(dir)})
+       SELECT image_id, orientation, country, sun_altitude
+       FROM e
        WHERE sun_altitude > 0 AND country LIKE '%west%'
          AND orientation BETWEEN 2 AND 8
        ORDER BY image_id"""
@@ -520,7 +529,7 @@ object ImageQueries {
   private def variantHashCase: String = Seq("orig", "exact", "recompress",
     "resize", "rot90", "rot180", "rot270", "fliph", "flipv", "gray-raw",
     "flat", "flatcopy", "bright", "contrast", "tiff16", "rawprev", "pdfwrap",
-    "crop5", "caption-dup", "unrelated")
+    "heicmeta", "crop5", "caption-dup", "unrelated")
     .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
 
   def sqlImgExif(dir: String): String = {
@@ -530,15 +539,15 @@ object ImageQueries {
           FROM $oTruth),
         e AS (
           SELECT s.image_id,
-                 (s.fmt IN ('jpg','tiff','nef')) AS has_x,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                 (s.fmt IN ('jpg','tiff','nef','heic')) AS has_x,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic')
                       THEN (t.vh % 8) + 1 END AS orient,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic')
                       THEN 1500000000 + t.group_id * 86400 + (t.vh % 86400)
                  END AS epoch,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic')
                       THEN -60.0 + (t.group_id % 120) + 0.25 END AS lat0,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic')
                       THEN -150.0 + ((t.group_id * 7) % 300) + 0.5 END AS lon0
           FROM $oSigs s JOIN t ON t.image_id = s.image_id)
         SELECT image_id,
@@ -575,7 +584,7 @@ object ImageQueries {
                  -60.0 + (t.group_id % 120) + 0.25 AS lat,
                  -150.0 + ((t.group_id * 7) % 300) + 0.5 AS lon
           FROM $oImages i JOIN t ON t.image_id = i.image_id
-          WHERE i.fmt IN ('jpg','tiff','nef')),
+          WHERE i.fmt IN ('jpg','tiff','nef','heic')),
         s1 AS (SELECT *, (exif_ts / 86400.0 + 2440587.5) - 2451545.0 AS d FROM base),
         s2 AS (SELECT *, radians((357.529 + 0.98560028 * d) % 360) AS g,
                          (280.459 + 0.98564736 * d) % 360 AS q FROM s1),

@@ -435,6 +435,17 @@ object Synth {
       graft.kernel.Exif.parseExifTimestamp(dto), Some(lat), Some(lon), Map.empty)
   }
 
+  /** Deterministic opaque bytes (LCG over the id hash) standing in for a
+    * coded payload no JVM codec can decode — unique per id so content
+    * hashes differ, never decodable or magic-byte-sniffed. */
+  private def opaquePayload(id: String, n: Int): Array[Byte] = {
+    var x = id.hashCode.toLong * 6364136223846793005L + 1442695040888963407L
+    Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >> 33).toByte
+    }
+  }
+
   private def encRow(id: String, d: DecodedImage, fmt: String, cap: String,
                      group: Long, variant: String): SynthRow = {
     def tiffExif = {
@@ -465,6 +476,20 @@ object Synth {
       // target shape): DCT = a literal JPEG payload; every third group a
       // FlateDecode raster with the PNG Up predictor (lossless pixels,
       // different bytes) so both filter paths flow through the pipeline
+      // HEIC shell: real ISOBMFF metadata (ispe dims + Exif item — S7/S8
+      // tiers on real container bytes) around an opaque payload the decode
+      // tier honestly reports `unsupported` for (no JVM HEVC codec).
+      // Alternating iloc construction methods: absolute file offsets
+      // (cameras) and idat-relative (some editors).
+      case "heic" =>
+        val ex = exifFor(group, variant)
+        val app1 = graft.kernel.Exif.buildApp1(ex.orientation.get,
+          ex.dateTimeOriginal.get, ex.lat, ex.lon)
+        // strip the APP1 marker+len: the ExifDataBlock payload is
+        // "Exif  " + TIFF
+        val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
+        graft.kernel.Isobmff.encodeHeicShell(d.w, d.h, Some(exifPayload),
+          opaquePayload(id, 256), exifInIdat = group % 2 == 1)
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -535,9 +560,14 @@ object Synth {
       // (decode tier S6 + container EXIF on real bytes)
       val chosen3 = if (r.nextInt(100) < 10) chosen2 :+ "rawprev" else chosen2
       // ~8%: a PDF wrapping the image as an XObject (decode tier S4's
-      // JVM-feasible slice; drawn LAST so earlier classes keep their
-      // rng stream across corpus versions)
-      val chosen = if (r.nextInt(100) < 8) chosen3 :+ "pdfwrap" else chosen3
+      // JVM-feasible slice; drawn after the round-4 classes so they keep
+      // their rng stream across corpus versions)
+      val chosen4 = if (r.nextInt(100) < 8) chosen3 :+ "pdfwrap" else chosen3
+      // ~8%: a HEIC shell carrying real ISOBMFF metadata (ispe dims +
+      // Exif item) around an opaque payload — the S7/S8 metadata tiers
+      // for the env-blocked pixel codec (round 5; drawn LAST, same
+      // rng-stability rule)
+      val chosen = if (r.nextInt(100) < 8) chosen4 :+ "heicmeta" else chosen4
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -569,6 +599,10 @@ object Synth {
         case "tiff16" => encRow(id("t16"), img, "tiff16", cap, baseId, "tiff16")
         case "rawprev" => encRow(id("raw"), img, "nef", cap, baseId, "rawprev")
         case "pdfwrap" => encRow(id("pdf"), img, "pdf", cap, baseId, "pdfwrap")
+        // metadata-only row: dims + EXIF real, pixels honestly unsupported
+        // — can only ever group via content hash (unique bytes → never),
+        // so it is excluded from the recall denominator like crop5
+        case "heicmeta" => encRow(id("heic"), img, "heic", cap, baseId, "heicmeta")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -596,9 +630,10 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5b: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
-      "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate)").getBytes("UTF-8"))
+      "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
+      "(ISOBMFF metadata shell)").getBytes("UTF-8"))
     mixOut.close()
   }
 
