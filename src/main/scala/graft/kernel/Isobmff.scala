@@ -252,9 +252,11 @@ object Isobmff {
     require(brand.length == 4, s"brand must be a 4cc: '$brand'")
     val ftyp = mkBox("ftyp", brand.getBytes("ISO-8859-1"), be32a(0L),
       "mif1".getBytes("ISO-8859-1"), brand.getBytes("ISO-8859-1"))
-    // ExifDataBlock: u32 tiff-header offset (6 = past "Exif\0\0")
-    val exifItem = exifPayload.map(p => be32a(6L) ++
-      "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ p)
+    // ExifDataBlock: u32 tiff_header_offset. Callers pass the APP1-style
+    // payload ("Exif\0\0" + TIFF), so offset 6 lands exactly on the TIFF
+    // header as 23008-12 A.2.1 intends (the round-5 first cut doubled the
+    // marker; the parser's leniency absorbed it, but conformant is better).
+    val exifItem = exifPayload.map(p => be32a(6L) ++ p)
 
     def meta(pixOff: Long, exifOff: Long): Array[Byte] = {
       val hdlr = mkFull("hdlr", 0, be32a(0L),
@@ -308,5 +310,54 @@ object Isobmff {
     require(out.length == mdatPayloadStart + mdat.length - 8,
       "heic shell layout drift")
     out
+  }
+
+  /** LSB-first bit writer (the encode mirror of [[HeaderDims]]' JXL bit
+    * reader — ISO/IEC 18181-1 codestream bit packing). */
+  private final class BitWriter {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var bitPos = 0
+    def u(v: Int, n: Int): Unit = {
+      var got = 0
+      while (got < n) {
+        cur |= ((v >> got) & 1) << bitPos
+        got += 1; bitPos += 1
+        if (bitPos == 8) { out += cur.toByte; cur = 0; bitPos = 0 }
+      }
+    }
+    def bytes: Array[Byte] =
+      if (bitPos > 0) (out :+ cur.toByte).toArray else out.toArray
+  }
+
+  /**
+   * Minimal spec-conformant JXL container (ISO/IEC 18181-2): signature box
+   * + `ftyp` + optional `Exif` box (ExifDataBlock, §9.3) + `jxlc` whose
+   * codestream opens FF 0A then a REAL SizeHeader (18181-1 §D.3: small=0,
+   * selector-1 13-bit sizes, ratio=0 → explicit xsize) encoding (w, h),
+   * followed by the caller's opaque payload — no JVM codec exists to make
+   * real frame bytes, and none is needed: the decode tier must report
+   * `unsupported` while the dims (S7) and EXIF (S8) tiers read the
+   * container. Synth's `jxlmeta` variant class.
+   */
+  def encodeJxlContainer(w: Int, h: Int, exifPayload: Option[Array[Byte]],
+                         codestreamPayload: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && w <= 8192 && h >= 1 && h <= 8192,
+      s"dims outside the selector-1 range: ${w}x$h")
+    val bw = new BitWriter
+    bw.u(0, 1)                    // small = 0
+    bw.u(1, 2); bw.u(h - 1, 13)   // ysize: U32 selector 1 (13-bit)
+    bw.u(0, 3)                    // ratio = 0 → explicit xsize
+    bw.u(1, 2); bw.u(w - 1, 13)   // xsize: U32 selector 1
+    val sig = mkBox("JXL ", Array(0x0d, 0x0a, 0x87, 0x0a).map(_.toByte))
+    val ftyp = mkBox("ftyp", "jxl ".getBytes("ISO-8859-1"), be32a(0L),
+      "jxl ".getBytes("ISO-8859-1"))
+    // ExifDataBlock: offset 6 = past the "Exif\0\0" the APP1-style
+    // payload opens with, landing exactly on the TIFF header
+    val exifBox = exifPayload.map(p => mkBox("Exif", be32a(6L), p))
+      .getOrElse(Array.empty[Byte])
+    val jxlc = mkBox("jxlc", Array(0xff.toByte, 0x0a.toByte), bw.bytes,
+      codestreamPayload)
+    sig ++ ftyp ++ exifBox ++ jxlc
   }
 }

@@ -490,6 +490,16 @@ object Synth {
         val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
         graft.kernel.Isobmff.encodeHeicShell(d.w, d.h, Some(exifPayload),
           opaquePayload(id, 256), exifInIdat = group % 2 == 1)
+      // JXL container: real SizeHeader dims + Exif box (S7/S8 on real
+      // container bytes) around an opaque codestream tail — same honesty
+      // contract as the HEIC shell (no JVM JXL codec).
+      case "jxl" =>
+        val ex = exifFor(group, variant)
+        val app1 = graft.kernel.Exif.buildApp1(ex.orientation.get,
+          ex.dateTimeOriginal.get, ex.lat, ex.lon)
+        val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
+        graft.kernel.Isobmff.encodeJxlContainer(d.w, d.h, Some(exifPayload),
+          opaquePayload(id, 256))
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -565,9 +575,11 @@ object Synth {
       val chosen4 = if (r.nextInt(100) < 8) chosen3 :+ "pdfwrap" else chosen3
       // ~8%: a HEIC shell carrying real ISOBMFF metadata (ispe dims +
       // Exif item) around an opaque payload — the S7/S8 metadata tiers
-      // for the env-blocked pixel codec (round 5; drawn LAST, same
-      // rng-stability rule)
-      val chosen = if (r.nextInt(100) < 8) chosen4 :+ "heicmeta" else chosen4
+      // for the env-blocked pixel codec (round 5; same rng-stability rule)
+      val chosen5 = if (r.nextInt(100) < 8) chosen4 :+ "heicmeta" else chosen4
+      // ~6%: a JXL container — SizeHeader dims + Exif box, opaque
+      // codestream tail (round 5b; drawn LAST, same rng-stability rule)
+      val chosen = if (r.nextInt(100) < 6) chosen5 :+ "jxlmeta" else chosen5
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -603,6 +615,9 @@ object Synth {
         // — can only ever group via content hash (unique bytes → never),
         // so it is excluded from the recall denominator like crop5
         case "heicmeta" => encRow(id("heic"), img, "heic", cap, baseId, "heicmeta")
+        // same metadata-only contract as heicmeta (excluded from the
+        // recall denominator; dims + EXIF real, pixels unsupported)
+        case "jxlmeta" => encRow(id("jxl"), img, "jxl", cap, baseId, "jxlmeta")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -630,10 +645,10 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5b: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5c: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
       "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
-      "(ISOBMFF metadata shell)").getBytes("UTF-8"))
+      "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container)").getBytes("UTF-8"))
     mixOut.close()
   }
 

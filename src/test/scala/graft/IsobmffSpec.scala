@@ -123,6 +123,38 @@ class IsobmffSpec extends AnyFunSuite {
       ImageCodec.StatusUnsupported)
   }
 
+  test("jxl container encoder roundtrip: SizeHeader dims + Exif box") {
+    val b = Isobmff.encodeJxlContainer(320, 179,
+      Some(exifPayload(5, "2023:02:03 04:05:06", 47.5, 8.25)),
+      Array.fill[Byte](96)(0x2e))
+    check(Exif.fromBytes(b, "jxl"), 5, "2023:02:03 04:05:06", 47.5, 8.25)
+    assert(HeaderDims.probe(b, "jxl").contains((320, 179)))
+    // mislabeled row: the generic sniff recognizes the JXL signature box
+    check(Exif.fromBytes(b, "bin"), 5, "2023:02:03 04:05:06", 47.5, 8.25)
+    assert(ImageCodec.decodeWithStatus(b, "jxl", 320, 179)._2 ==
+      ImageCodec.StatusUnsupported)
+    // dims edge: selector-1 bounds
+    assert(HeaderDims.probe(Isobmff.encodeJxlContainer(1, 8192, None,
+      Array.fill[Byte](8)(0)), "jxl").contains((1, 8192)))
+  }
+
+  test("synth jxlmeta rows: kernel carries real EXIF + unsupported status") {
+    val rows = (0L until 120L).flatMap(Synth.rowsForBase)
+      .filter(_.variant == "jxlmeta")
+    assert(rows.nonEmpty, "no jxlmeta rows in 120 bases — rate broken")
+    val sha = MessageDigest.getInstance("SHA-256")
+    rows.foreach { r =>
+      val sig = SignatureKernel.computeOne(
+        ImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash), sha)
+      assert(sig.decode_status == ImageCodec.StatusUnsupported, r.image_id)
+      assert(!sig.has_pdq, r.image_id)
+      val want = Synth.exifFor(r.group_id, r.variant)
+      assert(sig.orientation == want.orientation, r.image_id)
+      assert(sig.exif_ts == want.timestamp, r.image_id)
+      assert(HeaderDims.probe(r.bytes, r.fmt).contains((r.w, r.h)), r.image_id)
+    }
+  }
+
   test("synth heicmeta rows: kernel carries real EXIF + unsupported status") {
     val rows = (0L until 80L).flatMap(Synth.rowsForBase)
       .filter(_.variant == "heicmeta")
