@@ -66,6 +66,8 @@ object Exif {
       // ISOBMFF containers (HEIC/AVIF Exif item, JXL-container Exif box):
       // the pixel tier is env-blocked but the metadata is plain box layout
       case "heic" | "heif" | "avif" | "jxl" => Isobmff.exif(bytes)
+      // RIFF container: the EXIF chunk is a plain TIFF payload (S8)
+      case "webp" => Webp.exif(bytes)
       case f if ImageCodec.RawFormats(f) =>
         if (isTiffHeader) tiffAt0.orElse(scanEmbeddedExif(bytes))
         else scanEmbeddedExif(bytes)
@@ -74,6 +76,7 @@ object Exif {
           fromJpeg(bytes)
         else if (isTiffHeader) tiffAt0
         else if (Isobmff.looksIsobmff(bytes)) Isobmff.exif(bytes)
+        else if (Webp.looksWebp(bytes)) Webp.exif(bytes)
         else None
     }
   }

@@ -42,6 +42,7 @@ object HeaderDims {
           case "tiff" | "tif" => tiffIfd0(bytes)
           case "jxl" => jxl(bytes)
           case "heic" | "heif" | "avif" => isobmffIspe(bytes)
+          case "webp" => Webp.headerDims(bytes)
           case "pdf" => pdfMediaBox(bytes)
           case ff if ImageCodec.RawFormats(ff) => rawLargestPreview(bytes)
           case _ => None
@@ -66,6 +67,7 @@ object HeaderDims {
       else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
         isobmffIspe(b)
       else if (b(4) == 'J' && b(5) == 'X' && b(6) == 'L' && b(7) == ' ') jxl(b)
+      else if (Webp.looksWebp(b)) Webp.headerDims(b)
       else if (PdfImages.looksPdf(b)) pdfMediaBox(b) // incl. 1 KiB junk rule
       else None
     } catch { case scala.util.control.NonFatal(_) => None }

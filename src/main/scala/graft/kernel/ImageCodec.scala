@@ -160,6 +160,26 @@ object ImageCodec {
                 else (None, StatusError)
               }
           }
+        // WebP tier (scanner.rs:713 reaches WebP via the image-crate
+        // fallback; the JVM has no codec, so the VP8L slice is decoded
+        // from the public spec — see Webp). Lossless VP8L = full pixels;
+        // lossy VP8 = honest `unsupported` (dims/EXIF still real); junk
+        // under the label = `error`; non-RIFF bytes get the S5 sniff.
+        case "webp" =>
+          if (Webp.looksWebp(bytes)) Webp.decodeWithStatus(bytes)
+          else {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img != null) (Some(fromBuffered(img)), StatusOk)
+            else if (PdfImages.looksPdf(bytes)) {
+              val ex = PdfImages.extract(bytes)
+              ex.image match {
+                case Some(d) => (Some(d), StatusOk)
+                case None =>
+                  if (ex.sawCorrupt) (None, StatusError)
+                  else (None, StatusUnsupported)
+              }
+            } else (None, StatusError)
+          }
         // generic guessed-format fallback (S5, scanner.rs:713-735): ImageIO
         // sniffs the actual magic bytes regardless of the claimed fmt, so a
         // mislabeled-but-decodable row still decodes; memory is bounded by
@@ -169,6 +189,7 @@ object ImageCodec {
         case _ =>
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           if (img != null) (Some(fromBuffered(img)), StatusOk)
+          else if (Webp.looksWebp(bytes)) Webp.decodeWithStatus(bytes)
           else if (PdfImages.looksPdf(bytes)) {
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes
             // through the PDF tier like any other magic-byte match, with

@@ -31,9 +31,11 @@ object ImageQueries {
     * ISOBMFF metadata shell, ispe dims + Exif item, both iloc
     * construction methods; v8: jxlmeta variant class — JXL container,
     * SizeHeader dims + Exif box — and the heic shell's ExifDataBlock
-    * offset now lands exactly on the TIFF header). */
+    * offset now lands exactly on the TIFF header; v9: webp (VP8X + EXIF
+    * + VP8L lossless, real decoded pixels) and webplossy (VP8 shell,
+    * dims/EXIF real, pixels unsupported) variant classes). */
   def corpusRoot: String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v8"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v9"
 
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
@@ -531,7 +533,8 @@ object ImageQueries {
   private def variantHashCase: String = Seq("orig", "exact", "recompress",
     "resize", "rot90", "rot180", "rot270", "fliph", "flipv", "gray-raw",
     "flat", "flatcopy", "bright", "contrast", "tiff16", "rawprev", "pdfwrap",
-    "heicmeta", "jxlmeta", "crop5", "caption-dup", "unrelated")
+    "heicmeta", "jxlmeta", "webp", "webplossy", "crop5", "caption-dup",
+    "unrelated")
     .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
 
   def sqlImgExif(dir: String): String = {
@@ -541,15 +544,15 @@ object ImageQueries {
           FROM $oTruth),
         e AS (
           SELECT s.image_id,
-                 (s.fmt IN ('jpg','tiff','nef','heic','jxl')) AS has_x,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl')
+                 (s.fmt IN ('jpg','tiff','nef','heic','jxl','webp')) AS has_x,
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl','webp')
                       THEN (t.vh % 8) + 1 END AS orient,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl','webp')
                       THEN 1500000000 + t.group_id * 86400 + (t.vh % 86400)
                  END AS epoch,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl','webp')
                       THEN -60.0 + (t.group_id % 120) + 0.25 END AS lat0,
-                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl')
+                 CASE WHEN s.fmt IN ('jpg','tiff','nef','heic','jxl','webp')
                       THEN -150.0 + ((t.group_id * 7) % 300) + 0.5 END AS lon0
           FROM $oSigs s JOIN t ON t.image_id = s.image_id)
         SELECT image_id,
@@ -586,7 +589,7 @@ object ImageQueries {
                  -60.0 + (t.group_id % 120) + 0.25 AS lat,
                  -150.0 + ((t.group_id * 7) % 300) + 0.5 AS lon
           FROM $oImages i JOIN t ON t.image_id = i.image_id
-          WHERE i.fmt IN ('jpg','tiff','nef','heic','jxl')),
+          WHERE i.fmt IN ('jpg','tiff','nef','heic','jxl','webp')),
         s1 AS (SELECT *, (exif_ts / 86400.0 + 2440587.5) - 2451545.0 AS d FROM base),
         s2 AS (SELECT *, radians((357.529 + 0.98560028 * d) % 360) AS g,
                          (280.459 + 0.98564736 * d) % 360 AS q FROM s1),

@@ -500,6 +500,28 @@ object Synth {
         val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
         graft.kernel.Isobmff.encodeJxlContainer(d.w, d.h, Some(exifPayload),
           opaquePayload(id, 256))
+      // WebP lossless (VP8X + EXIF + VP8L): REAL pixels through the
+      // pure-JVM VP8L tier — same pixels as the orig, so it groups via
+      // PDQ dist 0 AND shares the PNG rows' pixel hash (the cross-format
+      // exact-dup axis). The encoder feature path cycles per group so all
+      // five VP8L modes (literals / subtract-green+LZ77+cache+meta /
+      // palette / predictor / color-transform) appear in the corpus.
+      case "webp" =>
+        val ex = exifFor(group, variant)
+        val app1 = graft.kernel.Exif.buildApp1(ex.orientation.get,
+          ex.dateTimeOriginal.get, ex.lat, ex.lon)
+        val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
+        graft.kernel.Webp.encodeVp8x(d, ((group % 5) + 5).toInt % 5, Some(exifPayload))
+      // Lossy VP8 under VP8X: real dims + EXIF chunk, opaque coded body —
+      // the honest-`unsupported` fixture for the codec-less VP8 slice
+      // (same contract as heicmeta/jxlmeta).
+      case "webplossy" =>
+        val ex = exifFor(group, variant)
+        val app1 = graft.kernel.Exif.buildApp1(ex.orientation.get,
+          ex.dateTimeOriginal.get, ex.lat, ex.lon)
+        val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
+        graft.kernel.Webp.encodeLossyStub(d.w, d.h, opaquePayload(id, 256),
+          Some(exifPayload))
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -511,7 +533,8 @@ object Synth {
             ImageCodec.encodeJpeg(d, 0.90f), d.w, d.h, "DCTDecode")
     }
     val storedFmt =
-      if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff" else fmt
+      if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff"
+      else if (fmt == "webplossy") "webp" else fmt
     // header dims + phash come from what a reader of the *encoded* row sees
     val dec = ImageCodec.decode(bytes, storedFmt, d.w, d.h).getOrElse(d)
     SynthRow(id, bytes, d.w, d.h, storedFmt, cap, phashOf(dec),
@@ -579,7 +602,13 @@ object Synth {
       val chosen5 = if (r.nextInt(100) < 8) chosen4 :+ "heicmeta" else chosen4
       // ~6%: a JXL container — SizeHeader dims + Exif box, opaque
       // codestream tail (round 5b; drawn LAST, same rng-stability rule)
-      val chosen = if (r.nextInt(100) < 6) chosen5 :+ "jxlmeta" else chosen5
+      val chosen6 = if (r.nextInt(100) < 6) chosen5 :+ "jxlmeta" else chosen5
+      // ~8%: a lossless WebP (VP8X + EXIF + VP8L) of the SAME pixels — the
+      // round-5c decode tier on real bytes (drawn after jxlmeta, same
+      // rng-stability rule: new classes always draw LAST)
+      val chosen7 = if (r.nextInt(100) < 8) chosen6 :+ "webp" else chosen6
+      // ~5%: a lossy-VP8 shell — dims + EXIF real, pixels unsupported
+      val chosen = if (r.nextInt(100) < 5) chosen7 :+ "webplossy" else chosen7
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -618,6 +647,10 @@ object Synth {
         // same metadata-only contract as heicmeta (excluded from the
         // recall denominator; dims + EXIF real, pixels unsupported)
         case "jxlmeta" => encRow(id("jxl"), img, "jxl", cap, baseId, "jxlmeta")
+        // lossless — full grouping member, IN the recall denominator
+        case "webp" => encRow(id("webp"), img, "webp", cap, baseId, "webp")
+        // metadata-only contract (like heicmeta): excluded from recall
+        case "webplossy" => encRow(id("webpl"), img, "webplossy", cap, baseId, "webplossy")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -645,10 +678,11 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5c: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5d: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
       "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
-      "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container)").getBytes("UTF-8"))
+      "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container) + ~8% webp " +
+      "(VP8X+EXIF+VP8L lossless) + ~5% webplossy (VP8 shell)").getBytes("UTF-8"))
     mixOut.close()
   }
 

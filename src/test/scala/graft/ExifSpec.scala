@@ -195,7 +195,10 @@ class ExifSpec extends AnyFunSuite {
     rows.foreach { r =>
       val sig = graft.kernel.SignatureKernel.computeOne(
         graft.model.ImageRow(r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash), sha)
-      if (r.fmt == "jpg") {
+      // every container Synth writes EXIF into must surface it from the
+      // same kernel pass: jpg APP1, tiff IFD, nef RAW, heic item, jxl box,
+      // webp EXIF chunk; the rest must stay empty
+      if (Set("jpg", "tiff", "nef", "heic", "jxl", "webp")(r.fmt)) {
         val want = Synth.exifFor(r.group_id, r.variant)
         assert(sig.orientation == want.orientation, r.image_id)
         assert(sig.exif_ts == want.timestamp, r.image_id)
