@@ -42,13 +42,20 @@ object Webp {
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
 
   /** (fourcc, payloadStart, payloadLen) for each top-level chunk. */
-  private[kernel] def chunks(b: Array[Byte]): Seq[(String, Int, Int)] = {
+  private[kernel] def chunks(b: Array[Byte]): Seq[(String, Int, Int)] =
+    subChunks(b, 12, b.length)
+
+  /** Chunk walk over an arbitrary range — the top-level RIFF body, or an
+    * ANMF frame's nested image-data chunks. */
+  private[kernel] def subChunks(b: Array[Byte], from: Int,
+                                until: Int): Seq[(String, Int, Int)] = {
     val out = ArrayBuffer.empty[(String, Int, Int)]
-    var i = 12
-    while (i + 8 <= b.length) {
+    var i = from
+    val end = math.min(until, b.length)
+    while (i + 8 <= end) {
       val cc = new String(b, i, 4, "ISO-8859-1")
       val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return out.toSeq // truncated tail
+      if (len < 0 || i + 8 + len > end) return out.toSeq // truncated tail
       out += ((cc, i + 8, len))
       i += 8 + len + (len & 1) // chunks are even-padded
     }
@@ -95,17 +102,45 @@ object Webp {
     }.flatten
   }
 
-  /** Pixel tier: VP8L decodes fully; VP8 lossy is `unsupported`; corrupt
+  /** Pixel tier: VP8L decodes fully (still or the first animation frame,
+    * composited onto the VP8X canvas); VP8 lossy is `unsupported`; corrupt
     * bytes under either flavor are `error`. */
   def decodeWithStatus(b: Array[Byte]): (Option[DecodedImage], String) = {
     if (!looksWebp(b)) return (None, StatusError)
     val cs = chunks(b)
-    cs.collectFirst { case ("VP8L", s, l) => (s, l) } match {
+    // animated: the image chunks live INSIDE the first ANMF frame; the
+    // decoded result is frame 1 on the canvas — what a generic decoder
+    // (the reference's image-crate path) returns for an animation
+    val frame = cs.collectFirst { case ("ANMF", s, l) if l >= 24 =>
+      (subChunks(b, s + 16, s + l),
+        le24(b, s) * 2, le24(b, s + 3) * 2) // frame x, y (stored halved)
+    }
+    val (imgChunks, fx, fy) = frame.getOrElse((cs, 0, 0))
+    imgChunks.collectFirst { case ("VP8L", s, l) => (s, l) } match {
       case Some((s, l)) =>
-        try (Some(decodeVp8l(b, s, s + l)), StatusOk)
-        catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
+        try {
+          val d = decodeVp8l(b, s, s + l)
+          val canvas = if (frame.isDefined) headerDims(b) else None
+          canvas match {
+            case Some((cw, ch)) if cw != d.w || ch != d.h || fx != 0 || fy != 0 =>
+              // composite the frame at its offset on a transparent canvas
+              val out = new Array[Int](cw * ch)
+              var y = 0
+              while (y < d.h) {
+                var x = 0
+                while (x < d.w) {
+                  val cx = fx + x; val cy = fy + y
+                  if (cx < cw && cy < ch) out(cy * cw + cx) = d.argb(y * d.w + x)
+                  x += 1
+                }
+                y += 1
+              }
+              (Some(DecodedImage(cw, ch, out)), StatusOk)
+            case _ => (Some(d), StatusOk)
+          }
+        } catch { case scala.util.control.NonFatal(_) => (None, StatusError) }
       case None =>
-        if (cs.exists(_._1 == "VP8 ")) (None, StatusUnsupported)
+        if (imgChunks.exists(_._1 == "VP8 ")) (None, StatusUnsupported)
         else (None, StatusError)
     }
   }
@@ -169,17 +204,20 @@ object Webp {
 
   // ---- Huffman ----------------------------------------------------------
 
-  /** Binary decode tree; leaf = -(sym+2), empty = -1, else node index.
-    * A single-symbol tree is a 0-bit code: [[read]] consumes nothing. */
+  /** Binary decode tree over a flat primitive array (node n's children at
+    * 2n / 2n+1 — no boxing in the per-bit hot loop); leaf = -(sym+2),
+    * empty = -1, else child node index. A single-symbol tree is a 0-bit
+    * code: [[read]] consumes nothing. */
   private final class HTree {
-    private[Webp] var left = ArrayBuffer(-1)
-    private[Webp] var right = ArrayBuffer(-1)
+    private[Webp] var nodes: Array[Int] = { val a = new Array[Int](32); a(0) = -1; a(1) = -1; a }
+    private[Webp] var nNodes = 1
     private[Webp] var loneSymbol = -1 // >=0: 0-bit code
     def read(br: BitReader): Int = {
       if (loneSymbol >= 0) return loneSymbol
+      val ns = nodes
       var n = 0
       while (true) {
-        val c = if (br.bit() == 0) left(n) else right(n)
+        val c = ns(2 * n + br.bit())
         if (c <= -2) return -c - 2
         if (c == -1) fail("bad code")
         n = c
@@ -190,16 +228,23 @@ object Webp {
       var n = 0
       var i = len - 1
       while (i >= 0) {
-        val goRight = ((code >> i) & 1) == 1
-        val arr = if (goRight) right else left
-        var c = arr(n)
+        val slot = 2 * n + ((code >> i) & 1)
+        var c = nodes(slot)
         if (i == 0) {
           if (c != -1) fail("oversubscribed")
-          arr(n) = -(sym + 2)
+          nodes(slot) = -(sym + 2)
         } else {
           if (c <= -2) fail("oversubscribed")
           if (c == -1) {
-            c = left.length; left += -1; right += -1; arr(n) = c
+            c = nNodes
+            nNodes += 1
+            if (2 * nNodes > nodes.length) {
+              val grown = new Array[Int](nodes.length * 2)
+              System.arraycopy(nodes, 0, grown, 0, nodes.length)
+              nodes = grown
+            }
+            nodes(2 * c) = -1; nodes(2 * c + 1) = -1
+            nodes(slot) = c
           }
           n = c
         }
@@ -251,8 +296,8 @@ object Webp {
   private def simpleTree(s0: Int, s1: Int): HTree = {
     val t = new HTree
     if (s1 < 0) { t.loneSymbol = s0; return t }
-    t.left(0) = -(s0 + 2)
-    t.right(0) = -(s1 + 2)
+    t.nodes(0) = -(s0 + 2)
+    t.nodes(1) = -(s1 + 2)
     t
   }
 
@@ -1272,6 +1317,43 @@ object Webp {
     vp8x(7) = (hm & 0xff).toByte; vp8x(8) = ((hm >> 8) & 0xff).toByte
     vp8x(9) = ((hm >> 16) & 0xff).toByte
     val cs = Seq(chunk("VP8X", vp8x), chunk("VP8L", encodeVp8lPayload(d, mode))) ++
+      exifPayload.map(p => chunk("EXIF", p))
+    riff(cs: _*)
+  }
+
+  /** Animated lossless WebP: VP8X (ANIM + optional EXIF flags) + ANIM +
+    * one ANMF per frame, each wrapping a VP8L codestream. All frames are
+    * full-canvas at (0,0); frame 1 is what the decode tier returns. */
+  def encodeAnimated(frames: Seq[DecodedImage], mode: Int,
+                     exifPayload: Option[Array[Byte]] = None,
+                     canvas: Option[(Int, Int)] = None,
+                     at: (Int, Int) = (0, 0)): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs at least one frame")
+    val (cw, ch) = canvas.getOrElse((frames.head.w, frames.head.h))
+    val (fx, fy) = at
+    require(fx % 2 == 0 && fy % 2 == 0, "ANMF offsets are stored halved")
+    val flags = 0x02 | (if (exifPayload.isDefined) 0x08 else 0x00) // A | E
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = flags.toByte
+    val cwm = cw - 1; val chm = ch - 1
+    vp8x(4) = (cwm & 0xff).toByte; vp8x(5) = ((cwm >> 8) & 0xff).toByte
+    vp8x(6) = ((cwm >> 16) & 0xff).toByte
+    vp8x(7) = (chm & 0xff).toByte; vp8x(8) = ((chm >> 8) & 0xff).toByte
+    vp8x(9) = ((chm >> 16) & 0xff).toByte
+    val anim = new Array[Byte](6) // bg color 0, loop count 0 (infinite)
+    val anmfs = frames.map { f =>
+      val inner = chunk("VP8L", encodeVp8lPayload(f, mode))
+      val hdr = new Array[Byte](16)
+      @inline def put24(off: Int, v: Int): Unit = {
+        hdr(off) = (v & 0xff).toByte; hdr(off + 1) = ((v >> 8) & 0xff).toByte
+        hdr(off + 2) = ((v >> 16) & 0xff).toByte
+      }
+      put24(0, fx / 2); put24(3, fy / 2)
+      put24(6, f.w - 1); put24(9, f.h - 1)
+      put24(12, 100) // duration ms
+      chunk("ANMF", hdr ++ inner)
+    }
+    val cs = Seq(chunk("VP8X", vp8x), chunk("ANIM", anim)) ++ anmfs ++
       exifPayload.map(p => chunk("EXIF", p))
     riff(cs: _*)
   }

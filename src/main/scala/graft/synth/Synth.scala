@@ -522,6 +522,17 @@ object Synth {
         val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
         graft.kernel.Webp.encodeLossyStub(d.w, d.h, opaquePayload(id, 256),
           Some(exifPayload))
+      // Animated lossless WebP (~4% of bases): VP8X ANIM + two ANMF
+      // frames, each a full VP8L codestream; frame 1 = the base pixels
+      // (the decode tier returns frame 1 on the canvas, so it groups at
+      // dist 0), frame 2 = the 180-rotation (real multi-frame container).
+      case "webpanim" =>
+        val ex = exifFor(group, variant)
+        val app1 = graft.kernel.Exif.buildApp1(ex.orientation.get,
+          ex.dateTimeOriginal.get, ex.lat, ex.lon)
+        val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
+        graft.kernel.Webp.encodeAnimated(Seq(d, rotate180(d)),
+          ((group % 5) + 6).toInt % 5, Some(exifPayload))
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -534,7 +545,7 @@ object Synth {
     }
     val storedFmt =
       if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff"
-      else if (fmt == "webplossy") "webp" else fmt
+      else if (fmt == "webplossy" || fmt == "webpanim") "webp" else fmt
     // header dims + phash come from what a reader of the *encoded* row sees
     val dec = ImageCodec.decode(bytes, storedFmt, d.w, d.h).getOrElse(d)
     SynthRow(id, bytes, d.w, d.h, storedFmt, cap, phashOf(dec),
@@ -608,7 +619,9 @@ object Synth {
       // rng-stability rule: new classes always draw LAST)
       val chosen7 = if (r.nextInt(100) < 8) chosen6 :+ "webp" else chosen6
       // ~5%: a lossy-VP8 shell — dims + EXIF real, pixels unsupported
-      val chosen = if (r.nextInt(100) < 5) chosen7 :+ "webplossy" else chosen7
+      val chosen8 = if (r.nextInt(100) < 5) chosen7 :+ "webplossy" else chosen7
+      // ~4%: an animated lossless WebP (2 ANMF frames; frame 1 = base)
+      val chosen = if (r.nextInt(100) < 4) chosen8 :+ "webpanim" else chosen8
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -651,6 +664,8 @@ object Synth {
         case "webp" => encRow(id("webp"), img, "webp", cap, baseId, "webp")
         // metadata-only contract (like heicmeta): excluded from recall
         case "webplossy" => encRow(id("webpl"), img, "webplossy", cap, baseId, "webplossy")
+        // frame 1 == base pixels: full grouping member, IN the denominator
+        case "webpanim" => encRow(id("webpa"), img, "webpanim", cap, baseId, "webpanim")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -678,11 +693,12 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5d: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5e: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
       "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
       "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container) + ~8% webp " +
-      "(VP8X+EXIF+VP8L lossless) + ~5% webplossy (VP8 shell)").getBytes("UTF-8"))
+      "(VP8X+EXIF+VP8L lossless) + ~5% webplossy (VP8 shell) + ~4% " +
+      "webpanim (2-frame ANMF lossless)").getBytes("UTF-8"))
     mixOut.close()
   }
 

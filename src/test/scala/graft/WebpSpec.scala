@@ -172,6 +172,66 @@ class WebpSpec extends AnyFunSuite {
     assert(codes(3) == ((7, 3)))
   }
 
+  test("animated WebP: frame 1 decodes, canvas composite, EXIF intact") {
+    val d = photo(48, 36, 14)
+    val d2 = photo(48, 36, 15)
+    // full-canvas 2-frame animation: decode == frame 1 exactly
+    val anim = Webp.encodeAnimated(Seq(d, d2), 1)
+    val (dec, st) = Webp.decodeWithStatus(anim)
+    assert(st == "ok" && dec.get.w == 48 && dec.get.h == 36)
+    assert(dec.get.argb.sameElements(d.argb), "animation frame 1 mismatch")
+    assert(Webp.headerDims(anim).contains((48, 36)))
+    // frame smaller than the canvas at an offset: composited, transparent
+    // elsewhere (what a generic still decode of an animation shows)
+    val small = photo(20, 10, 16)
+    val off = Webp.encodeAnimated(Seq(small), 0, canvas = Some((64, 40)),
+      at = (8, 6))
+    val (dec2, st2) = Webp.decodeWithStatus(off)
+    assert(st2 == "ok" && dec2.get.w == 64 && dec2.get.h == 40)
+    assert(dec2.get.argb(0) == 0, "outside the frame must stay transparent")
+    assert(dec2.get.argb(6 * 64 + 8) == small.argb(0), "offset composite")
+    assert(dec2.get.argb(15 * 64 + 27) == small.argb(9 * 20 + 19),
+      "frame bottom-right lands at canvas (27,15)")
+    // EXIF rides the animated container too
+    val app1 = Exif.buildApp1(3, "2022:01:02 03:04:05", Some(1.5), Some(2.5))
+    val withExif = Webp.encodeAnimated(Seq(d), 2,
+      Some(java.util.Arrays.copyOfRange(app1, 4, app1.length)))
+    val ex = Exif.fromBytes(withExif, "webp")
+    assert(ex.exists(_.orientation.contains(3)))
+    val (dec3, st3) = Webp.decodeWithStatus(withExif)
+    assert(st3 == "ok" && dec3.get.argb.sameElements(d.argb))
+  }
+
+  test("byte-parser fuzz: mutated and junk streams never escape the status contract") {
+    val rnd = new scala.util.Random(7)
+    val d = photo(40, 30, 17)
+    val seeds: Seq[Array[Byte]] = Seq(
+      Webp.encodeLossless(d, 1),
+      Webp.encodeVp8x(d, 3, Some(java.util.Arrays.copyOfRange(
+        Exif.buildApp1(1, "2020:01:01 00:00:00", None, None), 4, 200))),
+      Webp.encodeAnimated(Seq(d), 2),
+      Webp.encodeLossyStub(99, 77, Array.fill(40)(3.toByte)))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    for (trial <- 0 until 400) {
+      val base = seeds(trial % seeds.length)
+      val b = base.clone()
+      // 1-8 random byte mutations anywhere (headers, huffman streams, EXIF)
+      for (_ <- 0 to rnd.nextInt(8)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val (dec, st) = ImageCodec.decodeWithStatus(b, "webp", d.w, d.h)
+      assert(Set("ok", "error", "unsupported")(st), s"trial $trial status $st")
+      assert(dec.isEmpty || (dec.get.w > 0 && dec.get.h > 0), s"trial $trial dims")
+      Webp.headerDims(b) // must not throw
+      // the kernel must absorb the row whole (decode + EXIF + hash)
+      val sig = graft.kernel.SignatureKernel.computeOne(
+        graft.model.ImageRow(s"fz$trial", b, d.w, d.h, "webp", "c", 0L), sha)
+      assert(sig.content_hash != null)
+      // truncations at arbitrary points
+      val t = java.util.Arrays.copyOf(base, 1 + rnd.nextInt(base.length))
+      assert(Set("ok", "error", "unsupported")(
+        ImageCodec.decodeWithStatus(t, "webp", d.w, d.h)._2), s"trial $trial trunc")
+    }
+  }
+
   test("Huffman writer/reader fuzz: 600 random histograms roundtrip") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 600) {
