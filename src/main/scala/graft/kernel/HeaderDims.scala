@@ -43,6 +43,10 @@ object HeaderDims {
           case "jxl" => jxl(bytes)
           case "heic" | "heif" | "avif" => isobmffIspe(bytes)
           case "webp" => Webp.headerDims(bytes)
+          case "qoi" => SmallFormats.Qoi.headerDims(bytes)
+          case "pnm" | "pgm" | "ppm" => SmallFormats.Pnm.headerDims(bytes)
+          case "ff" | "farbfeld" => SmallFormats.Farbfeld.headerDims(bytes)
+          case "ico" => SmallFormats.Ico.headerDims(bytes)
           case "pdf" => pdfMediaBox(bytes)
           case ff if ImageCodec.RawFormats(ff) => rawLargestPreview(bytes)
           case _ => None
@@ -68,6 +72,10 @@ object HeaderDims {
         isobmffIspe(b)
       else if (b(4) == 'J' && b(5) == 'X' && b(6) == 'L' && b(7) == ' ') jxl(b)
       else if (Webp.looksWebp(b)) Webp.headerDims(b)
+      else if (SmallFormats.Qoi.looks(b)) SmallFormats.Qoi.headerDims(b)
+      else if (SmallFormats.Pnm.looks(b)) SmallFormats.Pnm.headerDims(b)
+      else if (SmallFormats.Farbfeld.looks(b)) SmallFormats.Farbfeld.headerDims(b)
+      else if (SmallFormats.Ico.looks(b)) SmallFormats.Ico.headerDims(b)
       else if (PdfImages.looksPdf(b)) pdfMediaBox(b) // incl. 1 KiB junk rule
       else None
     } catch { case scala.util.control.NonFatal(_) => None }

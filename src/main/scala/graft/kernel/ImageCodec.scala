@@ -160,6 +160,30 @@ object ImageCodec {
                 else (None, StatusError)
               }
           }
+        // Small-format tiers (scanner.rs:2278 extension list; image-crate
+        // fallback formats with no JVM codec — decoded from their public
+        // fixed layouts, see SmallFormats). Mislabeled bytes fall to the
+        // generic sniff; DDS/EXR/HDR stay honest `unsupported` there.
+        case "qoi" if SmallFormats.Qoi.looks(bytes) =>
+          SmallFormats.Qoi.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            case None => (None, StatusError)
+          }
+        case "pnm" | "pgm" | "ppm" if SmallFormats.Pnm.looks(bytes) =>
+          SmallFormats.Pnm.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            case None => (None, StatusError)
+          }
+        case "ff" | "farbfeld" if SmallFormats.Farbfeld.looks(bytes) =>
+          SmallFormats.Farbfeld.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            case None => (None, StatusError)
+          }
+        case "ico" if SmallFormats.Ico.looks(bytes) =>
+          SmallFormats.Ico.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            case None => (None, StatusError)
+          }
         // WebP tier (scanner.rs:713 reaches WebP via the image-crate
         // fallback; the JVM has no codec, so the VP8L slice is decoded
         // from the public spec — see Webp). Lossless VP8L = full pixels;
@@ -190,7 +214,15 @@ object ImageCodec {
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           if (img != null) (Some(fromBuffered(img)), StatusOk)
           else if (Webp.looksWebp(bytes)) Webp.decodeWithStatus(bytes)
-          else if (PdfImages.looksPdf(bytes)) {
+          else if (SmallFormats.Qoi.looks(bytes) || SmallFormats.Pnm.looks(bytes) ||
+            SmallFormats.Farbfeld.looks(bytes) || SmallFormats.Ico.looks(bytes)) {
+            val d =
+              if (SmallFormats.Qoi.looks(bytes)) SmallFormats.Qoi.decode(bytes)
+              else if (SmallFormats.Pnm.looks(bytes)) SmallFormats.Pnm.decode(bytes)
+              else if (SmallFormats.Farbfeld.looks(bytes)) SmallFormats.Farbfeld.decode(bytes)
+              else SmallFormats.Ico.decode(bytes)
+            d.map(i => (Option(i), StatusOk)).getOrElse((None, StatusError))
+          } else if (PdfImages.looksPdf(bytes)) {
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes
             // through the PDF tier like any other magic-byte match, with
             // the SAME ok/error/unsupported trichotomy as the labeled

@@ -34,9 +34,10 @@ object ImageQueries {
     * offset now lands exactly on the TIFF header; v9: webp (VP8X + EXIF
     * + VP8L lossless, real decoded pixels) and webplossy (VP8 shell,
     * dims/EXIF real, pixels unsupported) variant classes; v10: webpanim
-    * — 2-frame ANMF animation, frame 1 = base pixels). */
+    * — 2-frame ANMF animation, frame 1 = base pixels; v11: qoi +
+    * ffeld/farbfeld — lossless small formats, ffeld native 16-bit). */
   def corpusRoot: String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v10"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v11"
 
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
@@ -534,8 +535,8 @@ object ImageQueries {
   private def variantHashCase: String = Seq("orig", "exact", "recompress",
     "resize", "rot90", "rot180", "rot270", "fliph", "flipv", "gray-raw",
     "flat", "flatcopy", "bright", "contrast", "tiff16", "rawprev", "pdfwrap",
-    "heicmeta", "jxlmeta", "webp", "webplossy", "webpanim", "crop5",
-    "caption-dup", "unrelated")
+    "heicmeta", "jxlmeta", "webp", "webplossy", "webpanim", "qoi",
+    "ffeld", "crop5", "caption-dup", "unrelated")
     .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
 
   def sqlImgExif(dir: String): String = {

@@ -533,6 +533,12 @@ object Synth {
         val exifPayload = java.util.Arrays.copyOfRange(app1, 4, app1.length)
         graft.kernel.Webp.encodeAnimated(Seq(d, rotate180(d)),
           ((group % 5) + 6).toInt % 5, Some(exifPayload))
+      // QOI: lossless, no metadata container — groups at PDQ dist 0 and
+      // shares the PNG rows' pixel hash (8-bit cross-format exact axis)
+      case "qoi" => graft.kernel.SmallFormats.Qoi.encode(d)
+      // farbfeld: ALWAYS 16-bit (v*257 widened) — the native deep-color
+      // container whose pixel hash equals the png rows' widened stream
+      case "ffeld" => graft.kernel.SmallFormats.Farbfeld.encode(d)
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -545,7 +551,8 @@ object Synth {
     }
     val storedFmt =
       if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff"
-      else if (fmt == "webplossy" || fmt == "webpanim") "webp" else fmt
+      else if (fmt == "webplossy" || fmt == "webpanim") "webp"
+      else if (fmt == "ffeld") "ff" else fmt
     // header dims + phash come from what a reader of the *encoded* row sees
     val dec = ImageCodec.decode(bytes, storedFmt, d.w, d.h).getOrElse(d)
     SynthRow(id, bytes, d.w, d.h, storedFmt, cap, phashOf(dec),
@@ -621,7 +628,11 @@ object Synth {
       // ~5%: a lossy-VP8 shell — dims + EXIF real, pixels unsupported
       val chosen8 = if (r.nextInt(100) < 5) chosen7 :+ "webplossy" else chosen7
       // ~4%: an animated lossless WebP (2 ANMF frames; frame 1 = base)
-      val chosen = if (r.nextInt(100) < 4) chosen8 :+ "webpanim" else chosen8
+      val chosen9 = if (r.nextInt(100) < 4) chosen8 :+ "webpanim" else chosen8
+      // ~5% qoi + ~4% farbfeld: the remaining image-crate fallback formats
+      // with JVM-feasible codecs (scanner.rs:2278) — drawn LAST, rng rule
+      val chosenA = if (r.nextInt(100) < 5) chosen9 :+ "qoi" else chosen9
+      val chosen = if (r.nextInt(100) < 4) chosenA :+ "ffeld" else chosenA
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -666,6 +677,8 @@ object Synth {
         case "webplossy" => encRow(id("webpl"), img, "webplossy", cap, baseId, "webplossy")
         // frame 1 == base pixels: full grouping member, IN the denominator
         case "webpanim" => encRow(id("webpa"), img, "webpanim", cap, baseId, "webpanim")
+        case "qoi" => encRow(id("qoi"), img, "qoi", cap, baseId, "qoi")
+        case "ffeld" => encRow(id("ff"), img, "ffeld", cap, baseId, "ffeld")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -693,12 +706,13 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5e: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5f: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
       "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
       "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container) + ~8% webp " +
       "(VP8X+EXIF+VP8L lossless) + ~5% webplossy (VP8 shell) + ~4% " +
-      "webpanim (2-frame ANMF lossless)").getBytes("UTF-8"))
+      "webpanim (2-frame ANMF lossless) + ~5% qoi + ~4% farbfeld " +
+      "(native 16-bit)").getBytes("UTF-8"))
     mixOut.close()
   }
 
