@@ -47,6 +47,7 @@ object HeaderDims {
           case "pnm" | "pgm" | "ppm" => SmallFormats.Pnm.headerDims(bytes)
           case "ff" | "farbfeld" => SmallFormats.Farbfeld.headerDims(bytes)
           case "ico" => SmallFormats.Ico.headerDims(bytes)
+          case "hdr" => SmallFormats.Hdr.headerDims(bytes)
           case "pdf" => pdfMediaBox(bytes)
           case ff if ImageCodec.RawFormats(ff) => rawLargestPreview(bytes)
           case _ => None
@@ -76,6 +77,7 @@ object HeaderDims {
       else if (SmallFormats.Pnm.looks(b)) SmallFormats.Pnm.headerDims(b)
       else if (SmallFormats.Farbfeld.looks(b)) SmallFormats.Farbfeld.headerDims(b)
       else if (SmallFormats.Ico.looks(b)) SmallFormats.Ico.headerDims(b)
+      else if (SmallFormats.Hdr.looks(b)) SmallFormats.Hdr.headerDims(b)
       else if (PdfImages.looksPdf(b)) pdfMediaBox(b) // incl. 1 KiB junk rule
       else None
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -184,6 +184,11 @@ object ImageCodec {
             case Some(d) => (Some(d), StatusOk)
             case None => (None, StatusError)
           }
+        case "hdr" if SmallFormats.Hdr.looks(bytes) =>
+          SmallFormats.Hdr.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            case None => (None, StatusError)
+          }
         // WebP tier (scanner.rs:713 reaches WebP via the image-crate
         // fallback; the JVM has no codec, so the VP8L slice is decoded
         // from the public spec — see Webp). Lossless VP8L = full pixels;
@@ -215,12 +220,14 @@ object ImageCodec {
           if (img != null) (Some(fromBuffered(img)), StatusOk)
           else if (Webp.looksWebp(bytes)) Webp.decodeWithStatus(bytes)
           else if (SmallFormats.Qoi.looks(bytes) || SmallFormats.Pnm.looks(bytes) ||
-            SmallFormats.Farbfeld.looks(bytes) || SmallFormats.Ico.looks(bytes)) {
+            SmallFormats.Farbfeld.looks(bytes) || SmallFormats.Ico.looks(bytes) ||
+            SmallFormats.Hdr.looks(bytes)) {
             val d =
               if (SmallFormats.Qoi.looks(bytes)) SmallFormats.Qoi.decode(bytes)
               else if (SmallFormats.Pnm.looks(bytes)) SmallFormats.Pnm.decode(bytes)
               else if (SmallFormats.Farbfeld.looks(bytes)) SmallFormats.Farbfeld.decode(bytes)
-              else SmallFormats.Ico.decode(bytes)
+              else if (SmallFormats.Ico.looks(bytes)) SmallFormats.Ico.decode(bytes)
+              else SmallFormats.Hdr.decode(bytes)
             d.map(i => (Option(i), StatusOk)).getOrElse((None, StatusError))
           } else if (PdfImages.looksPdf(bytes)) {
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes

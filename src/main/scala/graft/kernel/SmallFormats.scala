@@ -18,8 +18,12 @@ package graft.kernel
  *    via ImageIO, BMP-flavored (doubled-height BITMAPINFOHEADER) are
  *    parsed directly at 32/24 bpp with the 1-bit AND mask applied.
  *
- * DDS / EXR / Radiance HDR stay honest `unsupported` (block-compressed /
- * float formats whose faithful decode needs real color pipelines).
+ *  - Radiance HDR (RGBE): flat and new-RLE scanlines, shared-exponent
+ *    float -> clamp [0,1] -> u16 (the image-crate Rgb32F -> to_rgba16
+ *    display conversion the reference hashes).
+ *
+ * DDS / EXR stay honest `unsupported` (block-compressed / half-float
+ * formats whose faithful decode needs real texture/color pipelines).
  */
 object SmallFormats {
 
@@ -382,6 +386,181 @@ object SmallFormats {
       writeLe32At(out, 18, 22)
       System.arraycopy(png, 0, out, 22, png.length)
       out
+    }
+  }
+
+  // ---------------- Radiance HDR (RGBE) ----------------
+
+  object Hdr {
+    def looks(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == '#' && b(1) == '?' // "#?RADIANCE" / "#?RGBE"
+
+    /** (w, h, dataOffset) from the header + standard "-Y h +X w" line. */
+    private def header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (!looks(b)) return None
+      var p = 0
+      def line(): Option[String] = {
+        val start = p
+        while (p < b.length && b(p) != '\n') p += 1
+        if (p >= b.length) None
+        else { val s = new String(b, start, p - start, "US-ASCII"); p += 1; Some(s) }
+      }
+      line() // magic
+      var l = line()
+      var guard = 0
+      while (l.exists(_.nonEmpty) && guard < 64) { l = line(); guard += 1 }
+      line().flatMap { res =>
+        val m = "-Y (\\d+) \\+X (\\d+)".r.findFirstMatchIn(res)
+        m.map(g => (g.group(2).toInt, g.group(1).toInt, p))
+      }
+    }
+
+    def headerDims(b: Array[Byte]): Option[(Int, Int)] =
+      header(b).map { case (w, h, _) => (w, h) }
+
+    /** RGBE scanlines (flat or new-RLE) -> linear float -> clamp [0,1] ->
+      * u16 (the image-crate Rgb32F -> to_rgba16 display conversion, the
+      * buffer scanner.rs:1393-1406 hashes) + 8-bit argb. */
+    def decode(b: Array[Byte]): Option[DecodedImage] =
+      header(b).flatMap { case (w, h, off) =>
+        if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+        val n = w * h
+        val argb = new Array[Int](n)
+        val rgba16 = new Array[Short](n * 4)
+        var p = off
+        val row = new Array[Byte](w * 4) // interleaved RGBE for one scanline
+        var y = 0
+        while (y < h) {
+          if (p + 4 > b.length) return None
+          val newRle = (b(p) & 0xff) == 2 && (b(p + 1) & 0xff) == 2 &&
+            ((((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) == w) && w >= 8 && w < 0x8000
+          if (newRle) {
+            p += 4
+            var c = 0
+            while (c < 4) { // four component planes, RLE
+              var x = 0
+              while (x < w) {
+                if (p >= b.length) return None
+                val cnt = b(p) & 0xff; p += 1
+                if (cnt > 128) { // run
+                  if (p >= b.length || x + (cnt - 128) > w) return None
+                  val v = b(p); p += 1
+                  var k = 0
+                  while (k < cnt - 128) { row(4 * (x + k) + c) = v; k += 1 }
+                  x += cnt - 128
+                } else { // literals
+                  if (cnt == 0 || p + cnt > b.length || x + cnt > w) return None
+                  var k = 0
+                  while (k < cnt) { row(4 * (x + k) + c) = b(p + k); k += 1 }
+                  p += cnt
+                  x += cnt
+                }
+              }
+              c += 1
+            }
+          } else {
+            if (p + w * 4 > b.length) return None
+            System.arraycopy(b, p, row, 0, w * 4)
+            p += w * 4
+          }
+          var x = 0
+          while (x < w) {
+            val e = row(4 * x + 3) & 0xff
+            val i = y * w + x
+            if (e == 0) {
+              argb(i) = 0xff000000
+              rgba16(4 * i + 3) = -1
+            } else {
+              val scale = math.pow(2.0, e - 128 - 8)
+              @inline def comp(c: Int): Int = {
+                val f = (row(4 * x + c) & 0xff) * scale
+                val cl = if (f < 0) 0.0 else if (f > 1) 1.0 else f
+                (cl * 65535.0 + 0.5).toInt
+              }
+              val r = comp(0); val g = comp(1); val bl = comp(2)
+              rgba16(4 * i) = r.toShort; rgba16(4 * i + 1) = g.toShort
+              rgba16(4 * i + 2) = bl.toShort; rgba16(4 * i + 3) = -1
+              argb(i) = 0xff000000 | ((r >> 8) << 16) | ((g >> 8) << 8) | (bl >> 8)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(w, h, argb, rgba16))
+      }
+
+    /** Encode 8-bit argb as new-RLE RGBE (v/255 linear, shared exponent).
+      * Lossy by construction (~±2/255 on non-max channels): an hdr of the
+      * same pixels groups like `recompress`, not via pixel hash. */
+    def encode(d: DecodedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(64 + d.argb.length * 4)
+      out.write("#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n".getBytes("US-ASCII"))
+      out.write(s"-Y ${d.h} +X ${d.w}\n".getBytes("US-ASCII"))
+      val w = d.w
+      val useRle = w >= 8 && w < 0x8000
+      val row = new Array[Byte](w * 4)
+      var y = 0
+      while (y < d.h) {
+        var x = 0
+        while (x < w) {
+          val px = d.argb(y * w + x)
+          val r = ((px >> 16) & 0xff) / 255.0
+          val g = ((px >> 8) & 0xff) / 255.0
+          val bl = (px & 0xff) / 255.0
+          val mx = math.max(r, math.max(g, bl))
+          if (mx < 1e-9) { row(4 * x) = 0; row(4 * x + 1) = 0; row(4 * x + 2) = 0; row(4 * x + 3) = 0 }
+          else {
+            val e = math.getExponent(mx) + 1 // frexp: mx = m * 2^e, m in [0.5,1)
+            val s2 = math.pow(2.0, 8 - e) // c = round(v * 2^(8-e)), decode multiplies 2^(e-8)
+            @inline def q(v: Double): Byte = {
+              val c = (v * s2 + 0.5).toInt
+              (if (c > 255) 255 else c).toByte
+            }
+            row(4 * x) = q(r); row(4 * x + 1) = q(g); row(4 * x + 2) = q(bl)
+            row(4 * x + 3) = (e + 128).toByte
+          }
+          x += 1
+        }
+        if (useRle) {
+          out.write(2); out.write(2); out.write((w >> 8) & 0xff); out.write(w & 0xff)
+          var c = 0
+          while (c < 4) {
+            var x2 = 0
+            while (x2 < w) {
+              // find a run of >= 4 identical bytes, else emit literals
+              var runStart = x2
+              var found = false
+              while (runStart < w && !found) {
+                var rl = 1
+                while (runStart + rl < w && rl < 127 &&
+                  row(4 * (runStart + rl) + c) == row(4 * runStart + c)) rl += 1
+                if (rl >= 4) found = true else runStart += rl
+              }
+              val litEnd = if (found) runStart else w
+              var lit = x2
+              while (lit < litEnd) {
+                val take = math.min(128, litEnd - lit)
+                out.write(take)
+                var k = 0
+                while (k < take) { out.write(row(4 * (lit + k) + c)); k += 1 }
+                lit += take
+              }
+              x2 = litEnd
+              if (found) {
+                var rl = 1
+                while (runStart + rl < w && rl < 127 &&
+                  row(4 * (runStart + rl) + c) == row(4 * runStart + c)) rl += 1
+                out.write(128 + rl)
+                out.write(row(4 * runStart + c))
+                x2 = runStart + rl
+              }
+            }
+            c += 1
+          }
+        } else out.write(row)
+        y += 1
+      }
+      out.toByteArray
     }
   }
 

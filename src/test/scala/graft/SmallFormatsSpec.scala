@@ -137,9 +137,40 @@ class SmallFormatsSpec extends AnyFunSuite {
       val t = java.util.Arrays.copyOf(bytes, math.max(4, bytes.length / 3))
       assert(ImageCodec.decodeWithStatus(t, fmt, d.w, d.h)._2 == "error", s"$fmt trunc")
     }
-    // dds/exr/hdr: honest unsupported via the generic branch
-    for (fmt <- Seq("dds", "exr", "hdr"))
+    // dds/exr: honest unsupported via the generic branch
+    for (fmt <- Seq("dds", "exr"))
       assert(ImageCodec.decodeWithStatus(Array.fill(64)(9.toByte), fmt, 8, 8)._2
         == "unsupported", fmt)
+  }
+
+  test("Radiance HDR: RGBE roundtrip within shared-exponent tolerance") {
+    val d = photo(40, 26, 6)
+    val hdr = SmallFormats.Hdr.encode(d)
+    assert(SmallFormats.Hdr.headerDims(hdr).contains((40, 26)))
+    val dec = SmallFormats.Hdr.decode(hdr).get
+    assert(dec.w == 40 && dec.h == 26)
+    assert(dec.rgba16 != null, "HDR is a deep-color source")
+    // shared-exponent quantization: each 8-bit channel within +-2
+    var maxErr = 0
+    for (i <- d.argb.indices; sh <- Seq(16, 8, 0)) {
+      val want = (d.argb(i) >> sh) & 0xff
+      val got = (dec.argb(i) >> sh) & 0xff
+      maxErr = math.max(maxErr, math.abs(want - got))
+    }
+    assert(maxErr <= 2, s"RGBE error $maxErr > 2")
+    // narrow image: flat (non-RLE) scanline path
+    val narrow = photo(5, 7, 8)
+    val dn = SmallFormats.Hdr.decode(SmallFormats.Hdr.encode(narrow)).get
+    assert(dn.w == 5 && dn.h == 7)
+    // labeled + sniffed dispatch, truncation is error
+    assert(ImageCodec.decodeWithStatus(hdr, "hdr", 40, 26)._2 == "ok")
+    assert(ImageCodec.decodeWithStatus(hdr, "bin", 40, 26)._2 == "ok")
+    assert(HeaderDims.probe(hdr, "hdr").contains((40, 26)))
+    val t = java.util.Arrays.copyOf(hdr, hdr.length / 2)
+    assert(ImageCodec.decodeWithStatus(t, "hdr", 40, 26)._2 == "error")
+    // black pixels (e=0) decode to black
+    val black = DecodedImage(12, 9, Array.fill(108)(0xff000000))
+    val db = SmallFormats.Hdr.decode(SmallFormats.Hdr.encode(black)).get
+    assert(db.argb.forall(_ == 0xff000000))
   }
 }
