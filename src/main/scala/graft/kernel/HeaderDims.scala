@@ -48,6 +48,7 @@ object HeaderDims {
           case "ff" | "farbfeld" => SmallFormats.Farbfeld.headerDims(bytes)
           case "ico" => SmallFormats.Ico.headerDims(bytes)
           case "hdr" => SmallFormats.Hdr.headerDims(bytes)
+          case "dds" => SmallFormats.Dds.headerDims(bytes)
           case "pdf" => pdfMediaBox(bytes)
           case ff if ImageCodec.RawFormats(ff) => rawLargestPreview(bytes)
           case _ => None
@@ -78,6 +79,7 @@ object HeaderDims {
       else if (SmallFormats.Farbfeld.looks(b)) SmallFormats.Farbfeld.headerDims(b)
       else if (SmallFormats.Ico.looks(b)) SmallFormats.Ico.headerDims(b)
       else if (SmallFormats.Hdr.looks(b)) SmallFormats.Hdr.headerDims(b)
+      else if (SmallFormats.Dds.looks(b)) SmallFormats.Dds.headerDims(b)
       else if (PdfImages.looksPdf(b)) pdfMediaBox(b) // incl. 1 KiB junk rule
       else None
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -189,6 +189,12 @@ object ImageCodec {
             case Some(d) => (Some(d), StatusOk)
             case None => (None, StatusError)
           }
+        case "dds" if SmallFormats.Dds.looks(bytes) =>
+          SmallFormats.Dds.decode(bytes) match {
+            case Some(d) => (Some(d), StatusOk)
+            // classic encodings all decode; what's left is DX10/BC4-7
+            case None => (None, StatusUnsupported)
+          }
         // WebP tier (scanner.rs:713 reaches WebP via the image-crate
         // fallback; the JVM has no codec, so the VP8L slice is decoded
         // from the public spec — see Webp). Lossless VP8L = full pixels;
@@ -221,13 +227,14 @@ object ImageCodec {
           else if (Webp.looksWebp(bytes)) Webp.decodeWithStatus(bytes)
           else if (SmallFormats.Qoi.looks(bytes) || SmallFormats.Pnm.looks(bytes) ||
             SmallFormats.Farbfeld.looks(bytes) || SmallFormats.Ico.looks(bytes) ||
-            SmallFormats.Hdr.looks(bytes)) {
+            SmallFormats.Hdr.looks(bytes) || SmallFormats.Dds.looks(bytes)) {
             val d =
               if (SmallFormats.Qoi.looks(bytes)) SmallFormats.Qoi.decode(bytes)
               else if (SmallFormats.Pnm.looks(bytes)) SmallFormats.Pnm.decode(bytes)
               else if (SmallFormats.Farbfeld.looks(bytes)) SmallFormats.Farbfeld.decode(bytes)
               else if (SmallFormats.Ico.looks(bytes)) SmallFormats.Ico.decode(bytes)
-              else SmallFormats.Hdr.decode(bytes)
+              else if (SmallFormats.Hdr.looks(bytes)) SmallFormats.Hdr.decode(bytes)
+              else SmallFormats.Dds.decode(bytes)
             d.map(i => (Option(i), StatusOk)).getOrElse((None, StatusError))
           } else if (PdfImages.looksPdf(bytes)) {
             // ImageIO cannot sniff PDFs — route mislabeled-but-PDF bytes

@@ -564,6 +564,245 @@ object SmallFormats {
     }
   }
 
+  // ---------------- DDS (DirectDraw Surface) ----------------
+
+  object Dds {
+    def looks(b: Array[Byte]): Boolean =
+      b.length >= 128 && b(0) == 'D' && b(1) == 'D' && b(2) == 'S' && b(3) == ' ' &&
+        le32(b, 4) == 124
+
+    def headerDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (!looks(b)) None else Some((le32(b, 16), le32(b, 12)))
+
+    /** Top mip level only (the image a generic decoder returns): DXT1/3/5
+      * block decompression and uncompressed mask-described RGB(A). DX10
+      * extended headers and exotic formats return None (-> `error` under a
+      * dds label; the honest `unsupported` case no longer exists for DDS
+      * since the classic encodings all decode). */
+    def decode(b: Array[Byte]): Option[DecodedImage] = {
+      if (!looks(b)) return None
+      val h = le32(b, 12)
+      val w = le32(b, 16)
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val pfFlags = le32(b, 80)
+      val fourCc = new String(b, 84, 4, "ISO-8859-1")
+      val data = 128
+      if ((pfFlags & 0x4) != 0) { // DDPF_FOURCC
+        fourCc match {
+          case "DXT1" => decodeBc(b, data, w, h, bytesPerBlock = 8, alphaMode = 0)
+          case "DXT3" => decodeBc(b, data, w, h, bytesPerBlock = 16, alphaMode = 3)
+          case "DXT5" => decodeBc(b, data, w, h, bytesPerBlock = 16, alphaMode = 5)
+          case _ => None // DX10 / BC4-7: out of the classic set
+        }
+      } else if ((pfFlags & 0x40) != 0) { // DDPF_RGB (+ optional alpha)
+        val bpp = le32(b, 88)
+        if (bpp != 24 && bpp != 32) return None
+        val rm = le32(b, 92); val gm = le32(b, 96)
+        val bm = le32(b, 100); val am = le32(b, 104)
+        val stride = bpp / 8
+        if (data + w.toLong * h * stride > b.length) return None
+        @inline def ext(v: Int, mask: Int): Int = {
+          if (mask == 0) return 0xff
+          val sh = Integer.numberOfTrailingZeros(mask)
+          val bits = Integer.bitCount(mask)
+          val raw = (v & mask) >>> sh
+          if (bits >= 8) raw >>> (bits - 8)
+          else (raw * 255) / ((1 << bits) - 1)
+        }
+        val argb = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val p = data + i * stride
+          var v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+          if (stride == 4) v |= (b(p + 3) & 0xff) << 24
+          val a = if ((pfFlags & 0x1) != 0 && am != 0) ext(v, am) else 0xff
+          argb(i) = (a << 24) | (ext(v, rm) << 16) | (ext(v, gm) << 8) | ext(v, bm)
+          i += 1
+        }
+        Some(DecodedImage(w, h, argb))
+      } else None
+    }
+
+    private def rgb565(v: Int): Int = {
+      val r = (v >> 11) & 0x1f; val g = (v >> 5) & 0x3f; val bl = v & 0x1f
+      (((r * 255) / 31) << 16) | (((g * 255) / 63) << 8) | ((bl * 255) / 31)
+    }
+
+    @inline private def mix(a: Int, b: Int, wa: Int, wb: Int, div: Int): Int = {
+      @inline def c(sh: Int): Int =
+        ((((a >> sh) & 0xff) * wa + (((b >> sh) & 0xff)) * wb) / div) << sh
+      c(16) | c(8) | c(0)
+    }
+
+    /** alphaMode: 0 = DXT1 (1-bit via 3-color mode), 3 = explicit 4-bit,
+      * 5 = interpolated 3-bit indices. */
+    private def decodeBc(b: Array[Byte], data: Int, w: Int, h: Int,
+                         bytesPerBlock: Int, alphaMode: Int): Option[DecodedImage] = {
+      val bw = (w + 3) / 4
+      val bh = (h + 3) / 4
+      if (data + bw.toLong * bh * bytesPerBlock > b.length) return None
+      val argb = new Array[Int](w * h)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val blk = data + (by * bw + bx) * bytesPerBlock
+          val cOff = blk + (if (alphaMode == 0) 0 else 8)
+          val c0v = le16(b, cOff); val c1v = le16(b, cOff + 2)
+          val c0 = rgb565(c0v); val c1 = rgb565(c1v)
+          val fourColor = alphaMode != 0 || c0v > c1v // DXT3/5 always 4-color
+          val pal = new Array[Int](4)
+          pal(0) = 0xff000000 | c0
+          pal(1) = 0xff000000 | c1
+          if (fourColor) {
+            pal(2) = 0xff000000 | mix(c0, c1, 2, 1, 3)
+            pal(3) = 0xff000000 | mix(c0, c1, 1, 2, 3)
+          } else {
+            pal(2) = 0xff000000 | mix(c0, c1, 1, 1, 2)
+            pal(3) = 0x00000000 // transparent black
+          }
+          val lut = le32(b, cOff + 4)
+          // DXT5 alpha palette
+          var a0 = 0; var a1 = 0; var aBits = 0L
+          if (alphaMode == 5) {
+            a0 = b(blk) & 0xff; a1 = b(blk + 1) & 0xff
+            var k = 0
+            while (k < 6) { aBits |= (b(blk + 2 + k) & 0xffL) << (8 * k); k += 1 }
+          }
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val x = bx * 4 + px; val y = by * 4 + py
+              if (x < w && y < h) {
+                val idx = (lut >>> (2 * (py * 4 + px))) & 3
+                var col = pal(idx)
+                if (alphaMode == 3) {
+                  val nib = py * 4 + px
+                  val av = (b(blk + nib / 2) >> ((nib % 2) * 4)) & 0xf
+                  col = (col & 0xffffff) | ((av * 17) << 24)
+                } else if (alphaMode == 5) {
+                  val ai = ((aBits >>> (3 * (py * 4 + px))) & 7).toInt
+                  val a =
+                    if (ai == 0) a0
+                    else if (ai == 1) a1
+                    else if (a0 > a1) ((8 - ai) * a0 + (ai - 1) * a1) / 7
+                    else if (ai == 6) 0
+                    else if (ai == 7) 255
+                    else ((6 - ai) * a0 + (ai - 1) * a1) / 5
+                  col = (col & 0xffffff) | (a << 24)
+                }
+                argb(y * w + x) = col
+              }
+              px += 1
+            }
+            py += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      Some(DecodedImage(w, h, argb))
+    }
+
+    /** Uncompressed A8R8G8B8 (lossless — the corpus fixture shape). */
+    def encodeUncompressed(d: DecodedImage): Array[Byte] = {
+      val out = new Array[Byte](128 + d.argb.length * 4)
+      out(0) = 'D'; out(1) = 'D'; out(2) = 'S'; out(3) = ' '
+      writeLe32At(out, 4, 124)
+      writeLe32At(out, 8, 0x1 | 0x2 | 0x4 | 0x1000) // caps|h|w|pixelformat
+      writeLe32At(out, 12, d.h); writeLe32At(out, 16, d.w)
+      writeLe32At(out, 76, 32) // pf size
+      writeLe32At(out, 80, 0x40 | 0x1) // DDPF_RGB | DDPF_ALPHAPIXELS
+      writeLe32At(out, 88, 32)
+      writeLe32At(out, 92, 0x00ff0000); writeLe32At(out, 96, 0x0000ff00)
+      writeLe32At(out, 100, 0x000000ff); writeLe32At(out, 104, 0xff000000)
+      writeLe32At(out, 108, 0x1000) // caps: texture
+      var i = 0
+      while (i < d.argb.length) {
+        writeLe32At(out, 128 + 4 * i, d.argb(i))
+        i += 1
+      }
+      out
+    }
+
+    /** DXT1 with min/max-luma endpoints — EXACT when every 4x4 block holds
+      * at most 2 distinct colors (the spec's exactness fixture), lossy like
+      * a recompress otherwise. */
+    def encodeDxt1(d: DecodedImage): Array[Byte] = {
+      val bw = (d.w + 3) / 4
+      val bh = (d.h + 3) / 4
+      val out = new Array[Byte](128 + bw * bh * 8)
+      out(0) = 'D'; out(1) = 'D'; out(2) = 'S'; out(3) = ' '
+      writeLe32At(out, 4, 124)
+      writeLe32At(out, 8, 0x1 | 0x2 | 0x4 | 0x1000)
+      writeLe32At(out, 12, d.h); writeLe32At(out, 16, d.w)
+      writeLe32At(out, 76, 32)
+      writeLe32At(out, 80, 0x4) // DDPF_FOURCC
+      out(84) = 'D'; out(85) = 'X'; out(86) = 'T'; out(87) = '1'
+      writeLe32At(out, 108, 0x1000)
+      def to565(px: Int): Int = {
+        val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val bl = px & 0xff
+        (((r * 31 + 127) / 255) << 11) | (((g * 63 + 127) / 255) << 5) | ((bl * 31 + 127) / 255)
+      }
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          // gather block pixels (edge blocks replicate the last pixel)
+          val pix = new Array[Int](16)
+          var k = 0
+          while (k < 16) {
+            val x = math.min(bx * 4 + k % 4, d.w - 1)
+            val y = math.min(by * 4 + k / 4, d.h - 1)
+            pix(k) = d.argb(y * d.w + x) & 0xffffff
+            k += 1
+          }
+          @inline def luma(p: Int): Int =
+            ((p >> 16) & 0xff) * 3 + ((p >> 8) & 0xff) * 6 + (p & 0xff)
+          var lo = pix(0); var hi = pix(0)
+          pix.foreach { p =>
+            if (luma(p) < luma(lo)) lo = p
+            if (luma(p) > luma(hi)) hi = p
+          }
+          var c0 = to565(hi); var c1 = to565(lo)
+          if (c0 < c1) { val t = c0; c0 = c1; c1 = t } // force 4-color mode
+          val blk = 128 + (by * bw + bx) * 8
+          out(blk) = (c0 & 0xff).toByte; out(blk + 1) = ((c0 >> 8) & 0xff).toByte
+          out(blk + 2) = (c1 & 0xff).toByte; out(blk + 3) = ((c1 >> 8) & 0xff).toByte
+          val pal =
+            if (c0 == c1) Array(rgb565(c0), rgb565(c1), rgb565(c0), rgb565(c1))
+            else Array(rgb565(c0), rgb565(c1),
+              mix(rgb565(c0), rgb565(c1), 2, 1, 3), mix(rgb565(c0), rgb565(c1), 1, 2, 3))
+          var lut = 0
+          k = 0
+          while (k < 16) {
+            @inline def dist(a: Int, b2: Int): Int = {
+              val dr = ((a >> 16) & 0xff) - ((b2 >> 16) & 0xff)
+              val dg = ((a >> 8) & 0xff) - ((b2 >> 8) & 0xff)
+              val db = (a & 0xff) - (b2 & 0xff)
+              dr * dr + dg * dg + db * db
+            }
+            var best = 0
+            var bd = dist(pix(k), pal(0))
+            var j = 1
+            while (j < 4) {
+              val dj = dist(pix(k), pal(j))
+              if (dj < bd) { bd = dj; best = j }
+              j += 1
+            }
+            lut |= best << (2 * k)
+            k += 1
+          }
+          writeLe32At(out, blk + 4, lut)
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+  }
+
   // ---------------- shared byte helpers ----------------
 
   private def be32(b: Array[Byte], i: Int): Int =

@@ -36,9 +36,10 @@ object ImageQueries {
     * dims/EXIF real, pixels unsupported) variant classes; v10: webpanim
     * — 2-frame ANMF animation, frame 1 = base pixels; v11: qoi +
     * ffeld/farbfeld — lossless small formats, ffeld native 16-bit;
-    * v12: hdrimg — Radiance RGBE, groups like recompress). */
+    * v12: hdrimg — Radiance RGBE, groups like recompress; v13: ddsimg
+    * — uncompressed DDS, lossless). */
   def corpusRoot: String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v12"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-verify-corpus-$NBases-v13"
 
   /** Synthesize (once per JVM) and return the corpus dir. */
   private def corpus(spark: SparkSession): String = synchronized {
@@ -537,7 +538,7 @@ object ImageQueries {
     "resize", "rot90", "rot180", "rot270", "fliph", "flipv", "gray-raw",
     "flat", "flatcopy", "bright", "contrast", "tiff16", "rawprev", "pdfwrap",
     "heicmeta", "jxlmeta", "webp", "webplossy", "webpanim", "qoi",
-    "ffeld", "hdrimg", "crop5", "caption-dup", "unrelated")
+    "ffeld", "hdrimg", "ddsimg", "crop5", "caption-dup", "unrelated")
     .map(v => s"WHEN '$v' THEN ${math.abs(v.hashCode)}").mkString(" ")
 
   def sqlImgExif(dir: String): String = {

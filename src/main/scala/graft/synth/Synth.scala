@@ -542,6 +542,8 @@ object Synth {
       // Radiance HDR: shared-exponent RGBE (~plus/minus 2/255 per channel)
       // — decodes through the RGBE tier and groups like `recompress`
       case "hdrimg" => graft.kernel.SmallFormats.Hdr.encode(d)
+      // DDS uncompressed A8R8G8B8: lossless — third cross-format exact axis
+      case "ddsimg" => graft.kernel.SmallFormats.Dds.encodeUncompressed(d)
       case "pdf" =>
         if (group % 3 == 0)
           graft.kernel.PdfImages.encodeImagePdf(
@@ -556,7 +558,8 @@ object Synth {
       if (fmt == "jpg90") "jpg" else if (fmt == "tiff16") "tiff"
       else if (fmt == "webplossy" || fmt == "webpanim") "webp"
       else if (fmt == "ffeld") "ff"
-      else if (fmt == "hdrimg") "hdr" else fmt
+      else if (fmt == "hdrimg") "hdr"
+      else if (fmt == "ddsimg") "dds" else fmt
     // header dims + phash come from what a reader of the *encoded* row sees
     val dec = ImageCodec.decode(bytes, storedFmt, d.w, d.h).getOrElse(d)
     SynthRow(id, bytes, d.w, d.h, storedFmt, cap, phashOf(dec),
@@ -638,7 +641,9 @@ object Synth {
       val chosenA = if (r.nextInt(100) < 5) chosen9 :+ "qoi" else chosen9
       val chosenB = if (r.nextInt(100) < 4) chosenA :+ "ffeld" else chosenA
       // ~3%: Radiance HDR (RGBE, new-RLE scanlines) — lossy-ish like jpg
-      val chosen = if (r.nextInt(100) < 3) chosenB :+ "hdrimg" else chosenB
+      val chosenC = if (r.nextInt(100) < 3) chosenB :+ "hdrimg" else chosenB
+      // ~3%: uncompressed DDS — lossless, groups at dist 0
+      val chosen = if (r.nextInt(100) < 3) chosenC :+ "ddsimg" else chosenC
       val vs = chosen.map {
         case "exact" => orig.copy(image_id = id("exact"), variant = "exact",
           part = (id("exact").hashCode & 0x7fffffff) % 32)
@@ -686,6 +691,7 @@ object Synth {
         case "qoi" => encRow(id("qoi"), img, "qoi", cap, baseId, "qoi")
         case "ffeld" => encRow(id("ff"), img, "ffeld", cap, baseId, "ffeld")
         case "hdrimg" => encRow(id("hdr"), img, "hdrimg", cap, baseId, "hdrimg")
+        case "ddsimg" => encRow(id("dds"), img, "ddsimg", cap, baseId, "ddsimg")
         case "gray-raw" => encRow(id("gray"), DecodedImage(img.w, img.h,
           grayRawBytes(img).map { b => val g = b & 0xff; 0xff000000 | (g << 16) | (g << 8) | g }),
           "gray-raw", cap, baseId, "gray-raw")
@@ -713,13 +719,14 @@ object Synth {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mixOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_mix"), true)
-    mixOut.write(("synth rowsForBase r5g: ~10% flat, ~20% unrelated, " +
+    mixOut.write(("synth rowsForBase r5h: ~10% flat, ~20% unrelated, " +
       "~5% caption-dup, rest orig+1..4 variants (exif jpg/tiff) + ~8% tiff16 " +
       "+ ~10% raw-preview + ~8% pdfwrap (DCT/Flate) + ~8% heicmeta " +
       "(ISOBMFF metadata shell) + ~6% jxlmeta (JXL container) + ~8% webp " +
       "(VP8X+EXIF+VP8L lossless) + ~5% webplossy (VP8 shell) + ~4% " +
       "webpanim (2-frame ANMF lossless) + ~5% qoi + ~4% farbfeld " +
-      "(native 16-bit) + ~3% hdrimg (RGBE)").getBytes("UTF-8"))
+      "(native 16-bit) + ~3% hdrimg (RGBE) + ~3% ddsimg " +
+      "(uncompressed DDS)").getBytes("UTF-8"))
     mixOut.close()
   }
 

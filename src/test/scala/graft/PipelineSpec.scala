@@ -84,7 +84,7 @@ class PipelineSpec extends AnyFunSuite {
     val good = Set("orig", "exact", "recompress", "resize", "rot90", "rot180",
       "rot270", "fliph", "flipv", "gray-raw", "flat", "flatcopy",
       "bright", "contrast", "tiff16", "rawprev", "pdfwrap", "webp",
-      "webpanim", "qoi", "ffeld", "hdrimg")
+      "webpanim", "qoi", "ffeld", "hdrimg", "ddsimg")
     val byGroup = rows.filter(r => good(r.variant))
       .groupBy(r => (r.group_id, if (r.variant.startsWith("flat")) "flat" else "fuzzy"))
       .values.filter(_.size > 1)

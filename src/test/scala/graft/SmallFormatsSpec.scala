@@ -137,10 +137,51 @@ class SmallFormatsSpec extends AnyFunSuite {
       val t = java.util.Arrays.copyOf(bytes, math.max(4, bytes.length / 3))
       assert(ImageCodec.decodeWithStatus(t, fmt, d.w, d.h)._2 == "error", s"$fmt trunc")
     }
-    // dds/exr: honest unsupported via the generic branch
-    for (fmt <- Seq("dds", "exr"))
-      assert(ImageCodec.decodeWithStatus(Array.fill(64)(9.toByte), fmt, 8, 8)._2
-        == "unsupported", fmt)
+    // exr: honest unsupported via the generic branch
+    assert(ImageCodec.decodeWithStatus(Array.fill(64)(9.toByte), "exr", 8, 8)._2
+      == "unsupported")
+  }
+
+  test("DDS: uncompressed lossless; DXT1 exact on 2-color blocks; DXT5 alpha anchor") {
+    val d = photo(37, 29, 7)
+    val un = SmallFormats.Dds.encodeUncompressed(d)
+    assert(SmallFormats.Dds.headerDims(un).contains((37, 29)))
+    assert(SmallFormats.Dds.decode(un).get.argb.sameElements(d.argb))
+    assert(ImageCodec.decodeWithStatus(un, "dds", 37, 29)._2 == "ok")
+    assert(ImageCodec.decodeWithStatus(un, "bin", 37, 29)._2 == "ok", "sniff")
+    // 2 distinct 565-representable colors per 4x4 block -> DXT1 is exact
+    val cA = 0xff000000 | (((8 * 255) / 31) << 16) | (((33 * 255) / 63) << 8) | ((2 * 255) / 31)
+    val cB = 0xff000000 | (((25 * 255) / 31) << 16) | (((10 * 255) / 63) << 8) | ((29 * 255) / 31)
+    val blocky = DecodedImage(16, 8, Array.tabulate(16 * 8) { i =>
+      val bx = (i % 16) / 4; val by2 = (i / 16) / 4
+      if ((bx + by2 + (i % 2)) % 2 == 0) cA else cB
+    })
+    val dxt1 = SmallFormats.Dds.encodeDxt1(blocky)
+    val dec1 = SmallFormats.Dds.decode(dxt1).get
+    assert(dec1.argb.sameElements(blocky.argb), "DXT1 2-color blocks must be exact")
+    // photo through DXT1: lossy but close (recompress-like)
+    val dxtP = SmallFormats.Dds.decode(SmallFormats.Dds.encodeDxt1(d)).get
+    var errSum = 0L
+    for (i <- d.argb.indices; sh <- Seq(16, 8, 0))
+      errSum += math.abs(((d.argb(i) >> sh) & 0xff) - ((dxtP.argb(i) >> sh) & 0xff))
+    val mean = errSum.toDouble / (d.argb.length * 3)
+    assert(mean < 12.0, s"DXT1 mean abs error $mean too high")
+    // hand-built 4x4 DXT5 block: alpha a0=255 a1=0, idx0 everywhere ->
+    // alpha 255; color c0=white c1=black lut=0 -> white
+    val b5 = new Array[Byte](128 + 16)
+    System.arraycopy(SmallFormats.Dds.encodeDxt1(DecodedImage(4, 4,
+      Array.fill(16)(0xffffffff))), 0, b5, 0, 128) // reuse a valid header
+    b5(84) = 'D'; b5(85) = 'X'; b5(86) = 'T'; b5(87) = '5'
+    b5(128) = 255.toByte; b5(129) = 0 // a0, a1
+    // alpha indices all 0 (bytes 130-135 zero); color: c0 = white 0xffff
+    b5(136) = 0xff.toByte; b5(137) = 0xff.toByte // c0 = 565 white
+    b5(138) = 0; b5(139) = 0 // c1 = black
+    val d5 = SmallFormats.Dds.decode(b5).get
+    assert(d5.w == 4 && d5.h == 4)
+    assert(d5.argb.forall(_ == 0xffffffff), "DXT5 anchor: opaque white")
+    // DX10-extended / BC7 fourCC: honest unsupported under the dds label
+    val bc7 = b5.clone(); bc7(84) = 'D'; bc7(85) = 'X'; bc7(86) = '1'; bc7(87) = '0'
+    assert(ImageCodec.decodeWithStatus(bc7, "dds", 4, 4)._2 == "unsupported")
   }
 
   test("Radiance HDR: RGBE roundtrip within shared-exponent tolerance") {
