@@ -471,7 +471,7 @@ object SmallFormats {
               argb(i) = 0xff000000
               rgba16(4 * i + 3) = -1
             } else {
-              val scale = math.pow(2.0, e - 128 - 8)
+              val scale = ExpTable(e)
               @inline def comp(c: Int): Int = {
                 val f = (row(4 * x + c) & 0xff) * scale
                 val cl = if (f < 0) 0.0 else if (f > 1) 1.0 else f
@@ -488,6 +488,11 @@ object SmallFormats {
         }
         Some(DecodedImage(w, h, argb, rgba16))
       }
+
+    /** 2^(e-136) for each exponent byte — hoisted out of the per-pixel
+      * loop (math.pow per pixel measured 4.4 ms/img on the canary). */
+    private val ExpTable: Array[Double] =
+      Array.tabulate(256)(e => math.pow(2.0, e - 128 - 8))
 
     /** Encode 8-bit argb as new-RLE RGBE (v/255 linear, shared exponent).
       * Lossy by construction (~±2/255 on non-max channels): an hdr of the
