@@ -27,13 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // fixed, pre-touched heap — standard executor practice (-Xms = -Xmx).
-  // Measured here (BASELINE.md round-5): lazy heap growth charges
-  // hypervisor first-touch faults to whichever stage grows the heap,
-  // doubling the 16-wide signature scan's per-image CPU time (46.4 s ->
-  // 26.4 s on the 120k bench corpus once pre-touched); the fault cost is
-  // host-window-dependent, so it also explained most wide-shot variance
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  "-XX:+AlwaysPreTouch",
+  // LAZY heap here, deliberately (round-6 fix of the round-5 OOM): this
+  // sbt-forked JVM is the bench's part-1 / test runner, not a measured
+  // pipeline shot. Round 5 pre-touched SPARK_DRIVER_MEM (~90 GiB in the
+  // driver env) here AND in each measured child JVM — two fully-resident
+  // ~90 GiB heaps plus the ~7 GB tmpfs-staged corpus cannot fit the
+  // 128 GiB cgroup: the OOM killer ended every BENCH_r05 run (exit 137).
+  // The pre-touch that actually fixes measurement variance lives only in
+  // Bench.runIsolated's child JVMs, budgeted against /proc/meminfo there.
 )
 Test / parallelExecution := false

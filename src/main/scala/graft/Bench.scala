@@ -49,12 +49,61 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Parse a -Xmx-style size ("32g", "512m", "90112m") into MiB. */
+  private def sizeToMb(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, unit) = t.span(c => c.isDigit)
+    val n = num.toLong
+    unit match {
+      case "g" | "gb" => n * 1024
+      case "m" | "mb" | "" => n
+      case "k" | "kb" => math.max(1L, n / 1024)
+      case "t" | "tb" => n * 1024 * 1024
+      case _ => n
+    }
+  }
+
+  /** MemAvailable from /proc/meminfo, in MiB (-1 if unreadable). */
+  private def memAvailableMb(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1024 }
+        .getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Child-JVM heap budget in MiB. Round-6 fix of the round-5 OOM (BENCH_r05
+    * rc=1, runner exit 137): round 5 pre-touched the full SPARK_DRIVER_MEM
+    * (~90 GiB in the driver env) in this parent JVM *and* in every child —
+    * two resident ~90 GiB heaps + the tmpfs-staged corpus cannot fit a
+    * 128 GiB cgroup. The fixed pre-touched heap stays (it is the measured
+    * cure for the lazy-heap first-touch variance, BASELINE.md round-5) but
+    * is budgeted at spawn time: min(requested, MemAvailable − headroom).
+    * MemAvailable already discounts the parent's resident set and the shm
+    * corpus/shuffle pages, so the budget is self-correcting; 16 GiB
+    * headroom covers per-shot shuffle + work-dir parquet on tmpfs (which
+    * grow AFTER the budget is read — observed ~7 GiB of post-spawn tmpfs
+    * growth across a 5-shot run). The
+    * pipeline itself needs only a few GiB at this corpus size, so a capped
+    * heap changes nothing about what is measured — both the N and 4N
+    * children get the same formula, and pre-touch happens before the timed
+    * region (BenchOne times Pipeline.run only). */
+  private def childHeapMb(): Long = {
+    val requested = sizeToMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
+    val avail = memAvailableMb()
+    val headroomMb = 16L * 1024
+    val budget =
+      if (avail < 0) requested // /proc unreadable: keep old behavior
+      else math.min(requested, avail - headroomMb)
+    math.max(budget, 4L * 1024) // floor: the pipeline fits in 4 GiB
+  }
+
   /** Spawn BenchOne in a fresh JVM; parse its BENCHONE line. Returns
     * (images, sec, stagesJson). */
   private def runIsolated(cpus: Int, corpusDir: String, workDir: String,
                           reps: Int): (Long, Double, String) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+    val mem = s"${childHeapMb()}m"
     // -Xms=-Xmx + pre-touch: lazy heap growth charges hypervisor
     // first-touch faults to the first heap-hungry stage (measured 2× on
     // the 16-wide signature scan, BASELINE.md round-5) — real executors
