@@ -1,6 +1,7 @@
 package graft.lsh
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -325,14 +326,54 @@ object BandJoin {
    * Returns (a, b, dist) with a < b.
    */
   def fuzzyEdges(sig: DataFrame, threshold: Int, saltFactor: Int = 0,
-                 chunkBits: Int = 0, nConfHint: Long = -1): DataFrame =
-    bandMatches(sig, threshold, saltFactor, chunkBits, nConfHint)
+                 chunkBits: Int = 0, nConfHint: Long = -1): DataFrame = {
+    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    // Round-6 rep collapse (guide §2.3 "shuffle fewer bytes" / §8 "decide
+    // with small rows"): whether two rows collide in the band join, and
+    // the verified distance of the pair, depend ONLY on (h0..h3, variants)
+    // — never on ord. Rows sharing them (lossless transcodes, exact
+    // copies, re-containered pixels) are collapsed to one REPRESENTATIVE
+    // before the ×(numChunks·masks) band explode; collision volume falls
+    // with the SQUARE of the distinct ratio. The edge set is then rebuilt
+    // exactly: intra-cluster pairs are all C(k,2) pairs at dist 0 (the
+    // identity variant is variants(0)); cross-cluster member pairs inherit
+    // their rep pair's dist because dist is hash-determined.
+    val win = Window.partitionBy("h0", "h1", "h2", "h3", "variants")
+    val members = conf.select("ord", "h0", "h1", "h2", "h3", "variants")
+      .withColumn("rep", min("ord").over(win))
+    val mem = members.select(col("rep"), col("ord"))
+    val reps = members.where(col("ord") === col("rep"))
+      .select("ord", "h0", "h1", "h2", "h3", "variants")
+      .withColumn("has_pdq", lit(true))
+      .withColumn("low_conf", lit(false))
+    // resolve the shared count ONCE over the ORIGINAL conf rows, so the
+    // auto chunk-width decision is identical to the pre-collapse plan at
+    // every corpus size (the salt occupancy is measured over reps — the
+    // rows the join actually sees)
+    val nConf = resolveConfCount(conf, nConfHint,
+      needed = chunkBits == 0 || saltFactor == 0)
+
+    val repEdges = bandMatches(reps, threshold, saltFactor, chunkBits, nConf)
       .withColumn("dist", hammingCols(Seq("v0", "v1", "v2", "v3").map(col),
         Seq("c0", "c1", "c2", "c3").map(col)))
       .where(col("dist") <= threshold)
-      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
-        greatest(col("q_ord"), col("c_ord")).as("b"))
+      .groupBy(least(col("q_ord"), col("c_ord")).as("ra"),
+        greatest(col("q_ord"), col("c_ord")).as("rb"))
       .agg(min("dist").as("dist"))
+
+    // all-pairs within an identical-(hash, variants) cluster, dist 0
+    val intra = mem.select(col("rep"), col("ord").as("a"))
+      .join(mem.select(col("rep"), col("ord").as("b")), "rep")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("dist"))
+    // rep-level edges expanded to member pairs (linear joins on tiny keys)
+    val cross = repEdges
+      .join(mem.select(col("rep").as("ra"), col("ord").as("oa")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("ord").as("ob")), "rb")
+      .select(least(col("oa"), col("ob")).as("a"),
+        greatest(col("oa"), col("ob")).as("b"), col("dist"))
+    cross.unionByName(intra)
+  }
 
   /** The raw band-collision rows (post-join, pre-verify) — exposed for
     * diagnostics (tools/JoinProbe) and the verify step above. */
@@ -387,35 +428,63 @@ object BandJoin {
       else autoSalt(conf, Seq("h0", "h1", "h2", "h3"), chunkBits,
         chunksArrayB(_, chunkBits), rIdx)
 
+    // Packed single-long join key (round 6, guide §2.3 narrower types):
+    // band_idx (< 32) ∙ band_val (< 2^chunkBits ≤ 2^32) ∙ salt (< 32 =
+    // MaxSaltFactor) fold into one non-overlapping long — one 8-byte key
+    // instead of three columns halves the shuffled key bytes and gives
+    // the shuffled-hash join a single-long lookup. Only at chunkBits ≤ 32
+    // (64-bit chunk values cannot pack); the 64-bit path keeps the
+    // 3-column key.
+    val packed = chunkBits <= 32
+    def packKey(idxC: Column, valC: Column, saltC: Column): Column =
+      idxC.cast("long") * lit(1L << 38) + valC * lit(64L) + saltC
+    val joinKeys = if (packed) Seq("bkey") else Seq("band_idx", "band_val", "salt")
+
     val idx0 = bandKeys(
       conf.select(col("ord"), col("h0"), col("h1"), col("h2"), col("h3")),
       Seq("h0", "h1", "h2", "h3"), rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
         col("h0").as("c0"), col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3"))
-    val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
+    val idx1 = if (saltF <= 1) idx0.withColumn("salt", lit(0))
       else idx0.withColumn("salt", saltIndexCol(saltF, hotKeySet, col("c_ord")))
+    val idx = if (!packed) idx1
+      else idx1.select(
+        packKey(col("band_idx"), col("band_val"), col("salt")).as("bkey"),
+        col("c_ord"), col("c0"), col("c1"), col("c2"), col("c3"))
 
+    // array_distinct: symmetric images repeat dihedral hashes (rot180 ==
+    // id etc.); duplicate variant rows would generate duplicate collisions
+    // that the verify pays for and the groupBy then discards
     val prbBase = conf
-      .select(col("ord"), explode(col("variants")).as("v"))
+      .select(col("ord"), explode(array_distinct(col("variants"))).as("v"))
       .select(col("ord"),
         col("v").getItem(0).as("v0"), col("v").getItem(1).as("v1"),
         col("v").getItem(2).as("v2"), col("v").getItem(3).as("v3"))
     val prb0 = bandKeys(prbBase, Seq("v0", "v1", "v2", "v3"), rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"),
         col("v0"), col("v1"), col("v2"), col("v3"))
-    val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
+    val prb1 = if (saltF <= 1) prb0.withColumn("salt", lit(0))
       else prb0.withColumn("salt", explode(saltProbeCol(saltF, hotKeySet)))
+    val prb = if (!packed) prb1
+      else prb1.select(
+        packKey(col("band_idx"), col("band_val"), col("salt")).as("bkey"),
+        col("q_ord"), col("v0"), col("v1"), col("v2"), col("v3"))
 
     // Symmetric probing (vs the reference's scan-order-dependent i<j,
     // scanner.rs:1714-1717): a pair is an edge when EITHER side's dihedral
     // variants match the other's stored hash — deterministic under any
     // partitioning/ord assignment, and a superset of any single scan order.
+    // NOT reducible to q < c: PDQ dihedral variants are derived from the
+    // DCT COEFFICIENTS (transpose + sign flips before binarization), not a
+    // bit permutation of the hash, so dist(v(a), b) ≠ dist(v⁻¹(b), a) in
+    // general — a round-6 directed-probing attempt changed 7.7k of 185k
+    // edges on the bench corpus and was reverted.
     // SHUFFLE_HASH, build side = probe: the planner must not broadcast
     // either side — Catalyst estimates relation size from the pre-explode
     // scan, which under-counts the band explosion by 100-2000×, and a
     // broadcast of the exploded index is a GB-scale driver build. A
     // partitioned hash join needs no sort and scales with executors.
-    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val", "salt"))
+    prb.hint("shuffle_hash").join(idx, joinKeys)
       .where(col("q_ord") =!= col("c_ord"))
   }
 
@@ -432,7 +501,7 @@ object BandJoin {
     val hubs = withPdq.groupBy("h0", "h1", "h2", "h3")
       .agg(min("ord").as("hub"))
     val vars = withPdq
-      .select(col("ord"), explode(col("variants")).as("v"))
+      .select(col("ord"), explode(array_distinct(col("variants"))).as("v"))
       .select(col("ord"),
         col("v").getItem(0).as("h0"), col("v").getItem(1).as("h1"),
         col("v").getItem(2).as("h2"), col("v").getItem(3).as("h3"))

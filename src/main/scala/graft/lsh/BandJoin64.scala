@@ -1,6 +1,7 @@
 package graft.lsh
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -75,13 +76,28 @@ object BandJoin64 {
                  nConfHint: Long = -1): DataFrame = {
     require(threshold <= 63,
       s"similarity $threshold > 63 needs R=4 probing (scanner.rs:1649-1655)")
-    val conf = sig.filter(col("has_pdq") && !col("low_conf"))
+    val conf0 = sig.filter(col("has_pdq") && !col("low_conf"))
+    // Round-6 rep collapse — same construction as BandJoin.fuzzyEdges:
+    // collision behavior and verified distance depend only on (phash64,
+    // phash_variants), so identical rows collapse to one representative
+    // before the band explode, and the edge set is rebuilt exactly
+    // afterward. Precondition (holds for every producer in this repo —
+    // PHash.dihedral(h) has h at index 0, the reference's store-1/query-8
+    // with the original among the 8, phash.rs:242-255): phash_variants
+    // contains phash64, so intra-cluster pairs verify at dist 0.
+    val win = Window.partitionBy("phash64", "phash_variants")
+    val membersAll = conf0.select("ord", "phash64", "phash_variants")
+      .withColumn("rep", min("ord").over(win))
+    val mem = membersAll.select(col("rep"), col("ord"))
+    val conf = membersAll.where(col("ord") === col("rep"))
+      .select("ord", "phash64", "phash_variants")
     // one shared count feeds the auto width + auto salt knobs (see
     // BandJoin.bandMatches); a caller pinning both, or passing its known
-    // count, pays no job
+    // count, pays no job. Counted over the PRE-collapse rows so the auto
+    // chunk-width trigger point is unchanged from round 5.
     val nConf =
       if (nConfHint >= 0) nConfHint
-      else if (chunkBits0 == 0 || saltFactor == 0) conf.count()
+      else if (chunkBits0 == 0 || saltFactor == 0) conf0.count()
       else -1L
     val chunkBits = if (chunkBits0 != 0) chunkBits0 else {
       val bits = autoChunkBits(nConf)
@@ -108,6 +124,11 @@ object BandJoin64 {
       else BandJoin.autoSalt(conf, Seq("phash64"), chunkBits,
         hs => chunksArray64(hs.head, chunkBits), rIdx)
 
+    // packed single-long join key (see BandJoin.bandMatches round-6 note):
+    // band_idx (< 8) ∙ band_val (< 2^chunkBits ≤ 2^32) ∙ salt (< 32)
+    def packKey(idxC: Column, valC: Column, saltC: Column): Column =
+      idxC.cast("long") * lit(1L << 38) + valC * lit(64L) + saltC
+
     val idx0 = bandKeys(
       conf.select(col("ord"), col("phash64")), "phash64", rIdx, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("c_ord"),
@@ -116,27 +137,48 @@ object BandJoin64 {
     // 256-bit path): index buckets split S ways, probes replicated ×S —
     // on the measured hot keys only when the set is shippable, globally
     // otherwise; saltFactor = 0 measures the top bucket ball at rIdx
-    val idx = if (saltF <= 1) idx0.withColumn("salt", lit(0))
+    val idx = (if (saltF <= 1) idx0.withColumn("salt", lit(0))
       else idx0.withColumn("salt",
-        BandJoin.saltIndexCol(saltF, hotKeySet, col("c_ord")))
+        BandJoin.saltIndexCol(saltF, hotKeySet, col("c_ord"))))
+      .select(packKey(col("band_idx"), col("band_val"), col("salt")).as("bkey"),
+        col("c_ord"), col("c_h"))
 
     val prbBase = conf
-      .select(col("ord"), explode(col("phash_variants")).as("v_h"))
+      .select(col("ord"), explode(array_distinct(col("phash_variants"))).as("v_h"))
     val prb0 = bandKeys(prbBase, "v_h", rPrb, chunkBits)
       .select(col("band_idx"), col("band_val"), col("ord").as("q_ord"), col("v_h"))
-    val prb = if (saltF <= 1) prb0.withColumn("salt", lit(0))
+    val prb = (if (saltF <= 1) prb0.withColumn("salt", lit(0))
       else prb0.withColumn("salt",
-        explode(BandJoin.saltProbeCol(saltF, hotKeySet)))
+        explode(BandJoin.saltProbeCol(saltF, hotKeySet))))
+      .select(packKey(col("band_idx"), col("band_val"), col("salt")).as("bkey"),
+        col("q_ord"), col("v_h"))
 
     // SHUFFLE_HASH for the same reason as BandJoin: the planner's size
-    // estimate predates the 8-variant × 8-chunk × mask explosion
-    prb.hint("shuffle_hash").join(idx, Seq("band_idx", "band_val", "salt"))
+    // estimate predates the 8-variant × 8-chunk × mask explosion.
+    // Symmetric probing (q =!= c, NOT q < c) for the same reason as the
+    // 256-bit path: variant transforms are not guaranteed to be
+    // distance-preserving bit permutations, so the two probe directions
+    // of a pair can disagree — both must be kept.
+    val repEdges = prb.hint("shuffle_hash").join(idx, Seq("bkey"))
       .where(col("q_ord") =!= col("c_ord"))
       .withColumn("dist", hamming64(col("v_h"), col("c_h")))
       .where(col("dist") <= threshold)
-      .groupBy(least(col("q_ord"), col("c_ord")).as("a"),
-        greatest(col("q_ord"), col("c_ord")).as("b"))
+      .groupBy(least(col("q_ord"), col("c_ord")).as("ra"),
+        greatest(col("q_ord"), col("c_ord")).as("rb"))
       .agg(min("dist").as("dist"))
+
+    // rebuild member-level edges: all-pairs within identical clusters at
+    // dist 0, rep-level pairs expanded through the member map
+    val intra = mem.select(col("rep"), col("ord").as("a"))
+      .join(mem.select(col("rep"), col("ord").as("b")), "rep")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("dist"))
+    val cross = repEdges
+      .join(mem.select(col("rep").as("ra"), col("ord").as("oa")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("ord").as("ob")), "rb")
+      .select(least(col("oa"), col("ob")).as("a"),
+        greatest(col("oa"), col("ob")).as("b"), col("dist"))
+    cross.unionByName(intra)
   }
 
   /** Exact (distance-0) star edges for ALL decoded rows including
