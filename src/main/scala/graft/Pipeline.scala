@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   final val DefaultThreshold = 40 // phdupes.rs:353-355
 
+  private val warmedUp = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def session(master: String, shufflePartitions: Int = 32): SparkSession = {
     // shuffle through RAM, not container disk: local[N] is the stand-in for
     // a cluster whose shuffle goes over NVMe/network — disk /tmp serializes
@@ -35,7 +37,7 @@ object Pipeline {
       if (shmBase.isDirectory && shmBase.canWrite) "/dev/shm/graft-spark-local"
       else s"${sys.props("java.io.tmpdir")}/graft-spark-local"
     new java.io.File(localDir).mkdirs()
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(master)
       .appName("graft-dedup")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -46,6 +48,26 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Once-per-JVM warm-up (round 6, guide §1: measure the computation,
+    // not class loading): the first job of a fresh JVM pays Janino/WSCG
+    // compiler init, shuffle + AQE machinery, and parquet reader/writer
+    // class loading — ~5-8 s billed to whichever query happens to run
+    // first. One tiny shuffle job plus a 10-row parquet round-trip loads
+    // all of it up front, on synthetic rows (no input data touched, no
+    // results retained — this is JVM warm-up, not caching).
+    if (warmedUp.compareAndSet(false, true)) {
+      try {
+        s.range(0, 1000)
+          .groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
+          .count().orderBy("k").collect()
+        val f = java.nio.file.Files.createTempDirectory("graft-warmup")
+        val p = s"$f/warm.parquet"
+        s.range(0, 10).write.mode("overwrite").parquet(p)
+        s.read.parquet(p).count()
+        new scala.reflect.io.Directory(f.toFile).deleteRecursively()
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    s
   }
 
   /** Compute signatures with a frozen dense ord. The image_id dedup

@@ -129,7 +129,10 @@ object ConnectedComponents {
       val mn = members.min
       members.iterator.map(m => (m, mn))
     }.toSeq
+    // round 6: no trailing repartition — createDataset already spreads the
+    // rows over defaultParallelism slices, and the extra exchange was paid
+    // by EVERY consumer of a driver-path CC result (guide §2.4: remove
+    // shuffles outright)
     spark.createDataset(out).toDF("id", "comp")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
   }
 }

@@ -44,23 +44,26 @@ object Groups {
                giantWarnSize: Long = DefaultGiantWarnSize): DataFrame = {
     val members = sig.join(comps, sig("ord") === comps("id"), "inner").drop("id")
 
-    // group sizes — also the giant-component guard (A2 scale audit)
-    val sizes = members.groupBy("comp")
-      .agg(count(lit(1)).as("group_size"))
+    // A4: per-(comp, content_hash) duplicate counts; group rollup for A7.
+    // Round 6 (guide §2.4): group_size = Σ bit_count_dup — exactly the
+    // member count — so the rollup aggregation yields it for free and the
+    // separate members-wide `sizes` aggregation + join are gone (one
+    // fewer full shuffle of the widest table in the stage).
+    val contentCounts = members.groupBy("comp", "content_hash")
+      .agg(count(lit(1)).as("bit_count_dup"))
+    val contentRollup = contentCounts.groupBy("comp")
+      .agg(count(lit(1)).cast("int").as("n_distinct_content"),
+        max(col("bit_count_dup") > 1).as("has_bit_dup"),
+        sum("bit_count_dup").as("group_size"))
     if (giantWarnSize > 0) {
-      val giants = sizes.where(col("group_size") >= giantWarnSize)
+      // giant-component guard (A2 scale audit) off the same rollup
+      val giants = contentRollup.where(col("group_size") >= giantWarnSize)
+        .select("comp", "group_size")
         .orderBy(col("group_size").desc).limit(10).collect()
       if (giants.nonEmpty)
         log.warn("giant components detected (threshold misconfiguration?): " +
           giants.map(r => s"comp=${r.get(0)} size=${r.get(1)}").mkString(", "))
     }
-
-    // A4: per-(comp, content_hash) duplicate counts; group rollup for A7
-    val contentCounts = members.groupBy("comp", "content_hash")
-      .agg(count(lit(1)).as("bit_count_dup"))
-    val contentRollup = contentCounts.groupBy("comp")
-      .agg(count(lit(1)).cast("int").as("n_distinct_content"),
-        max(col("bit_count_dup") > 1).as("has_bit_dup"))
     // A5: per-(comp, pixel_hash) counts (null pixel hashes stay 0)
     val pixelCounts = members.where(col("pixel_hash").isNotNull)
       .groupBy("comp", "pixel_hash")
@@ -73,7 +76,6 @@ object Groups {
 
     val hs = Seq("h0", "h1", "h2", "h3")
     val withDist = members
-      .join(sizes, Seq("comp"))
       .join(contentRollup, Seq("comp"))
       .join(contentCounts, Seq("comp", "content_hash"))
       .join(pixelCounts, Seq("comp", "pixel_hash"), "left")

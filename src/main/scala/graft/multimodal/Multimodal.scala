@@ -141,22 +141,26 @@ object Multimodal {
         when(dotLit(f, hp(t)(j)) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
-    val keyed = ok.select(col("media_id"), col("feature"),
-      posexplode(array((0 until tables).map(t =>
-        bucketKey(col("feature"), t)): _*)).as(Seq("table", "bucket")))
+    // round 6: the squared norm is a per-ROW constant — compute it once
+    // before the table explode instead of once per collision (a pair
+    // colliding in k tables previously paid 2k norm folds of FeatureDim
+    // multiply-adds each); same expression over the same values, so the
+    // float result is bit-identical
+    val keyed = ok
+      .withColumn("nrm", aggregate(transform(col("feature"), x => x * x),
+        lit(0.0), (acc, v) => acc + v))
+      .select(col("media_id"), col("feature"), col("nrm"),
+        posexplode(array((0 until tables).map(t =>
+          bucketKey(col("feature"), t)): _*)).as(Seq("table", "bucket")))
 
     val a = keyed.select(col("media_id").as("a"), col("feature").as("fa"),
-      col("table"), col("bucket"))
+      col("nrm").as("na"), col("table"), col("bucket"))
     val b = keyed.select(col("media_id").as("b"), col("feature").as("fb"),
-      col("table"), col("bucket"))
+      col("nrm").as("nb"), col("table"), col("bucket"))
     // both sides scale with n — keep it a shuffled join on the bucket key
     a.hint("shuffle_hash").join(b, Seq("table", "bucket"))
       .where(col("a") < col("b"))
       .withColumn("dot", aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("na", aggregate(transform(col("fa"), x => x * x),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("nb", aggregate(transform(col("fb"), x => x * x),
         lit(0.0), (acc, v) => acc + v))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") >= col("na") * col("nb") * (minCos * minCos))

@@ -46,28 +46,45 @@ object TextEmbedQueries {
   // =========================================================================
   // MinHash signatures: component s = min(md5(s || ':' || shingle))
   // =========================================================================
+  // Round-6 shape (guide §2.3 "project before the exchange"): build the
+  // shingle ARRAY with a higher-order transform and explode that, so each
+  // exploded row carries only its 8-char shingle — the old per-position
+  // explode duplicated the FULL text into every row (O(len²) bytes copied
+  // per document) before the substring ran.
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     rd(spark, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1))))
-          .as("pos"))
-      .select(col("doc_id"), expr(s"substring(text, pos, $ShingleLen)").as("shingle"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), " +
+            s"p -> substring(text, p, $ShingleLen))")).as("shingle"))
 
   // Broder construction: ONE md5 per shingle reduced to an integer base,
   // then k affine permutations (base·A_s + B_s) mod P — 8× fewer digest
   // calls than hashing per-seed, exact in both engines (all values < 2^60
   // under checked int64 arithmetic)
   private val MinhashP = 1000000007L
-  def qDocMinhash(spark: SparkSession, dir: String): DataFrame =
+  // Round-6: the 8 per-seed minima as 8 aggregate columns over ONE
+  // groupBy(doc_id) (no ×NumSeeds row explode — 8× fewer rows through the
+  // partial aggregation), unpivoted with stack(). No trailing orderBy, so
+  // the band/verify consumers (qMinhashBandPairs, qDocDupGroups) reuse
+  // the aggregation exchange instead of re-sorting it globally per branch
+  // (guide §2.4: an orderBy used only for output determinism).
+  private def docMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumSeeds).map(s =>
+      min((col("base") * (37 + s * 2) + lit(s.toLong * 101 + 17)) % MinhashP)
+        .as(s"m$s"))
+    val stackArgs = (0 until NumSeeds)
+      .map(s => s"CAST($s AS BIGINT), m$s").mkString(", ")
     shingles(spark, dir)
       .withColumn("base",
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP)
-      .select(col("doc_id"), col("base"),
-        explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"))
-      .groupBy(col("doc_id"), col("seed").cast("long").as("seed"))
-      .agg(min((col("base") * (lit(37) + col("seed") * 2) + col("seed") * 101 + 17)
-        % MinhashP).as("minh"))
-      .orderBy("doc_id", "seed")
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id",
+        s"stack($NumSeeds, $stackArgs) AS (seed, minh)")
+  }
+  def qDocMinhash(spark: SparkSession, dir: String): DataFrame =
+    docMinhash(spark, dir).orderBy("doc_id", "seed")
   private def sqlMinhashCte(dir: String): String =
     s"""sh AS (SELECT doc_id::BIGINT AS doc_id,
          ('0x' || substr(md5(substr(text, i::INT, $ShingleLen)), 1, 15))::BIGINT
@@ -85,7 +102,7 @@ object TextEmbedQueries {
   // MinHash LSH band join → candidate pairs + estimated Jaccard verify
   // =========================================================================
   def qMinhashBandPairs(spark: SparkSession, dir: String): DataFrame = {
-    val mh = qDocMinhash(spark, dir)
+    val mh = docMinhash(spark, dir)
     // bands of 2 components; band key = md5 of the sorted "seed=minh" pairs
     // (sorted so the aggregation order is engine-independent)
     val bandedDet = mh.withColumn("band", floor(col("seed") / 2))
@@ -595,14 +612,21 @@ object TextEmbedQueries {
   // =========================================================================
   private val SpanLen = 32
   private val SpanStride = 16
-  def qSubstringDup(spark: SparkSession, dir: String): DataFrame = {
-    val wins = rd(spark, dir, "documents")
-      .where(length(col("text")) >= SpanLen)
+  // Round-6 (guide §2.3): fingerprint windows built INSIDE a transform
+  // over the position sequence, so each exploded row carries (pos, md5)
+  // only — the old shape duplicated the full text into every exploded row
+  // (O(len²/stride) bytes copied per document) before the substring ran.
+  private def spanWindows(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= SpanLen)
       .select(col("doc_id").cast("long").as("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride)))
-          .as("pos"), col("text"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(expr(s"substring(text, pos, $SpanLen)")).as("h"))
+        explode(expr(
+          s"transform(sequence(1, length(text) - ${SpanLen - 1}, $SpanStride), " +
+            s"p -> struct(CAST(p AS BIGINT) AS pos, " +
+            s"md5(substring(text, p, $SpanLen)) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  def qSubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = spanWindows(rd(spark, dir, "documents"))
     val dupKeys = wins.groupBy("h")
       .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
       .select("h")
@@ -659,13 +683,7 @@ object TextEmbedQueries {
   // document length.
   // =========================================================================
   def spanCuts(docs: DataFrame): DataFrame = {
-    val wins = docs
-      .where(length(col("text")) >= SpanLen)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride)))
-          .as("pos"), col("text"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(expr(s"substring(text, pos, $SpanLen)")).as("h"))
+    val wins = spanWindows(docs)
     val keepers = wins.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"), count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
