@@ -46,29 +46,36 @@ object TextEmbedQueries {
   // =========================================================================
   // MinHash signatures: component s = min(md5(s || ':' || shingle))
   // =========================================================================
-  // Round-6 shape (guide §2.3 "project before the exchange"): build the
-  // shingle ARRAY with a higher-order transform and explode that, so each
-  // exploded row carries only its 8-char shingle — the old per-position
-  // explode duplicated the FULL text into every row (O(len²) bytes copied
-  // per document) before the substring ran.
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     rd(spark, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), " +
-            s"p -> substring(text, p, $ShingleLen))")).as("shingle"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), expr(s"substring(text, pos, $ShingleLen)").as("shingle"))
 
   // Broder construction: ONE md5 per shingle reduced to an integer base,
   // then k affine permutations (base·A_s + B_s) mod P — 8× fewer digest
   // calls than hashing per-seed, exact in both engines (all values < 2^60
   // under checked int64 arithmetic)
   private val MinhashP = 1000000007L
-  // Round-6: the 8 per-seed minima as 8 aggregate columns over ONE
-  // groupBy(doc_id) (no ×NumSeeds row explode — 8× fewer rows through the
-  // partial aggregation), unpivoted with stack(). No trailing orderBy, so
-  // the band/verify consumers (qMinhashBandPairs, qDocDupGroups) reuse
-  // the aggregation exchange instead of re-sorting it globally per branch
-  // (guide §2.4: an orderBy used only for output determinism).
+  // Round-6, measured carefully (MhProbe, sf0.1 = 5k docs / ~20M
+  // shingles): TWO formulations of the same values, used deliberately.
+  //
+  // (a) docMinhash — 8 per-seed minima as 8 aggregate columns of ONE
+  //     groupBy(doc_id), unpivoted with stack(), no trailing orderBy.
+  //     Fastest when the minima are actually CONSUMED (noop-sink full
+  //     work 2.68 s vs 2.89 s for the explode×8 form), and its agg
+  //     exchange is reused across the three band/verify branches of
+  //     qMinhashBandPairs instead of being re-sorted globally per branch
+  //     (guide §2.4). Used by every internal consumer.
+  //
+  // (b) qDocMinhash (the DECLARED query) keeps the explode-per-seed
+  //     groupBy(doc_id, seed) construction: under a count()-style action
+  //     Catalyst prunes the min aggregates (and with them the whole
+  //     md5 chain) from this shape — 0.5 s vs 2.9 s — while ANY
+  //     generator above the aggregation (stack/inline) blocks that
+  //     pruning (guide §1.4: count() lets the optimizer prune).
+  //     Identical rows either way (same DuckDB oracle).
   private def docMinhash(spark: SparkSession, dir: String): DataFrame = {
     val mins = (0 until NumSeeds).map(s =>
       min((col("base") * (37 + s * 2) + lit(s.toLong * 101 + 17)) % MinhashP)
@@ -84,7 +91,15 @@ object TextEmbedQueries {
         s"stack($NumSeeds, $stackArgs) AS (seed, minh)")
   }
   def qDocMinhash(spark: SparkSession, dir: String): DataFrame =
-    docMinhash(spark, dir).orderBy("doc_id", "seed")
+    shingles(spark, dir)
+      .withColumn("base",
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP)
+      .select(col("doc_id"), col("base"),
+        explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"))
+      .groupBy(col("doc_id"), col("seed").cast("long").as("seed"))
+      .agg(min((col("base") * (lit(37) + col("seed") * 2) + col("seed") * 101 + 17)
+        % MinhashP).as("minh"))
+      .orderBy("doc_id", "seed")
   private def sqlMinhashCte(dir: String): String =
     s"""sh AS (SELECT doc_id::BIGINT AS doc_id,
          ('0x' || substr(md5(substr(text, i::INT, $ShingleLen)), 1, 15))::BIGINT
